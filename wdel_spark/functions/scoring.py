@@ -1,0 +1,149 @@
+"""Deterministic pairwise scorers + hashed char-n-gram embeddings.
+
+Behavioral replacement (per the north rule) for the reference's learned
+scorers:
+
+- bi-encoder dot product (`/root/reference/src/candidate_generation/model.py:105-107`)
+  -> hashed char-n-gram embedding + cosine (`hash_embed`, `cosine_pairs`);
+- Qwen yes/no judge (`/root/reference/src/entity_disambiguation/prediction.py:84-164`)
+  -> batched Jaro-Winkler + Levenshtein string similarity (`pair_score`).
+
+Everything here is pure numpy/python and is THE single source of truth:
+the Spark pandas-UDFs and the pandas oracle both import these functions, so
+cluster-level agreement is by construction (tested anyway).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+EMBED_DIM = 128  # reference bi-encoder dim: /root/reference/src/pipeline.py:53
+
+# score = W_JW * jaro_winkler + W_LEV * (1 - lev/maxlen) + W_COS * cosine
+W_JW, W_LEV, W_COS = 0.4, 0.3, 0.3
+
+
+def jaro_winkler(a: str, b: str, prefix_scale: float = 0.1) -> float:
+    """Standard Jaro-Winkler similarity in [0, 1]."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    match_window = max(la, lb) // 2 - 1
+    if match_window < 0:
+        match_window = 0
+    a_flags = [False] * la
+    b_flags = [False] * lb
+    matches = 0
+    for i, ca in enumerate(a):
+        lo = max(0, i - match_window)
+        hi = min(lb, i + match_window + 1)
+        for j in range(lo, hi):
+            if not b_flags[j] and b[j] == ca:
+                a_flags[i] = b_flags[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    transpositions = 0
+    j = 0
+    for i in range(la):
+        if a_flags[i]:
+            while not b_flags[j]:
+                j += 1
+            if a[i] != b[j]:
+                transpositions += 1
+            j += 1
+    transpositions //= 2
+    jaro = (
+        matches / la + matches / lb + (matches - transpositions) / matches
+    ) / 3.0
+    prefix = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca == cb:
+            prefix += 1
+        else:
+            break
+    return jaro + prefix * prefix_scale * (1.0 - jaro)
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Classic edit distance (two-row DP).  Matches Spark's builtin
+    ``levenshtein()`` and DuckDB's ``levenshtein()`` semantics."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cost = 0 if ca == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev = cur
+    return prev[lb]
+
+
+def _ngrams(s: str, ns: tuple[int, ...] = (2, 3)) -> list[str]:
+    padded = f"\x02{s}\x03"
+    out: list[str] = []
+    for n in ns:
+        if len(padded) >= n:
+            out.extend(padded[i : i + n] for i in range(len(padded) - n + 1))
+    return out
+
+
+def hash_embed(texts: "list[str] | np.ndarray", dim: int = EMBED_DIM) -> np.ndarray:
+    """Deterministic hashed char-n-gram embedding, L2-normalized.
+
+    Signed feature hashing (crc32 bucket + sign bit) over char 2/3-grams.
+    Replaces the BERT bi-encoder (`model.py:43-59`) with a seedless,
+    weight-free encoder so tests are hermetic.  Batched: one [B, dim]
+    float32 matrix per call — the Arrow-batch analog of the reference's
+    DataLoader batching (`encode_item.py:226-246`).
+    """
+    out = np.zeros((len(texts), dim), dtype=np.float32)
+    for row, text in enumerate(texts):
+        if not text:
+            continue
+        v = out[row]
+        for g in _ngrams(text):
+            h = zlib.crc32(g.encode("utf-8"))
+            sign = 1.0 if (h >> 31) & 1 == 0 else -1.0
+            v[(h & 0x7FFFFFFF) % dim] += sign
+        n = np.linalg.norm(v)
+        if n > 0:
+            v /= n
+    return out
+
+
+def cosine_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise cosine of two [B, d] matrices (inputs need not be unit)."""
+    na = np.linalg.norm(a, axis=1)
+    nb = np.linalg.norm(b, axis=1)
+    denom = na * nb
+    dots = np.einsum("ij,ij->i", a, b)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = np.where(denom > 0, dots / denom, 0.0)
+    return out.astype(np.float64)
+
+
+def pair_score(
+    m_norm: str, a_norm: str, cos: float, lev: int | None = None
+) -> float:
+    """Combined mention-alias score in [0, 1].
+
+    ``lev`` may be precomputed (Spark passes the Catalyst builtin
+    ``levenshtein()`` result in; the oracle computes it here)."""
+    if lev is None:
+        lev = levenshtein(m_norm, a_norm)
+    maxlen = max(len(m_norm), len(a_norm), 1)
+    lev_sim = 1.0 - min(lev, maxlen) / maxlen
+    return W_JW * jaro_winkler(m_norm, a_norm) + W_LEV * lev_sim + W_COS * max(cos, 0.0)

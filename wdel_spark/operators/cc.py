@@ -1,0 +1,115 @@
+"""Iterative connected components — large-star / small-star.
+
+The clustering stage (S6) the reference leaves implicit (mentions linked to
+the same QID are the same entity; see SURVEY.md §0).  Algorithm: Kiveris et
+al., "Connected Components in MapReduce and Beyond" (the one GraphFrames
+uses) — alternating large-star / small-star contractions; converges in
+O(log^2 n) rounds and handles high-degree hubs (promiscuous alias keys) by
+design.
+
+Pure DataFrame implementation:
+  - node ids are int64 (callers hash string keys via ``xxhash64``);
+  - each iteration costs two shuffles (groupBy on each orientation);
+  - lineage is truncated per iteration with ``localCheckpoint`` so the plan
+    doesn't grow unboundedly — iterative driver loops are the one place
+    Catalyst can't help (SURVEY.md §4);
+  - convergence detected via a cheap (count, xxhash-sum) fingerprint of the
+    edge set — one aggregate per iteration, no exceptAll shuffle.
+
+At 100 TB the per-iteration shuffle is the cost driver: components shrink
+geometrically, AQE coalesces the shrinking shuffle outputs, and the edge set
+after star-contraction is bounded by the node count, not the input pair
+count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Undirected edge set: collapse to src < dst, drop self-loops, dedupe."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each u: connect every strictly-larger neighbor to min(Γ(u)∪{u})."""
+    nbr = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = nbr.groupBy("src").agg(
+        F.least(F.first("src"), F.min("dst")).alias("min_nbr")
+    )
+    return (
+        nbr.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("min_nbr").alias("dst"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient src >= dst; for each u connect all smaller neighbors (and u)
+    to the minimum of that set."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    )
+    mins = oriented.groupBy("src").agg(
+        F.least(F.first("src"), F.min("dst")).alias("min_nbr")
+    )
+    joined = oriented.join(mins, "src")
+    return joined.select(
+        F.col("dst").alias("src"), F.col("min_nbr").alias("dst")
+    ).union(
+        joined.select("src", F.col("min_nbr").alias("dst"))
+    )
+
+
+def _fingerprint(edges: DataFrame) -> tuple:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("src", "dst")).alias("h"),
+    ).first()
+    return (row["n"], row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Edges ``(src:long, dst:long)`` -> ``(node:long, component:long)``.
+
+    ``component`` = minimum node id in the component (deterministic label).
+    Nodes appearing only in self-loops / isolated still get a row."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    e = _canonical(edges.select("src", "dst")).localCheckpoint(eager=True)
+    prev_fp = _fingerprint(e)
+    for _ in range(max_iterations):
+        e = _canonical(_small_star(_large_star(e))).localCheckpoint(eager=True)
+        fp = _fingerprint(e)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # Fixpoint is star-shaped: each edge is (component_min, member).
+    comp = (
+        e.select(F.col("dst").alias("node"), F.col("src").alias("component"))
+        .union(e.select(F.col("src").alias("node"),
+                        F.col("dst").alias("component")))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+    return (
+        nodes.join(comp, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )

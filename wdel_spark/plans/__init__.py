@@ -1,0 +1,23 @@
+from wdel_spark.plans.pipeline import (
+    extract_mentions,
+    prepare_kb,
+    block_candidates,
+    score_pairs,
+    rank_and_edges,
+    cluster_mentions,
+    verify_span_invariant,
+    run_pipeline,
+    PipelineParams,
+)
+
+__all__ = [
+    "extract_mentions",
+    "prepare_kb",
+    "block_candidates",
+    "score_pairs",
+    "rank_and_edges",
+    "cluster_mentions",
+    "verify_span_invariant",
+    "run_pipeline",
+    "PipelineParams",
+]

