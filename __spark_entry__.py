@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry``      — flagship ER pipeline (blocking + pairwise scoring +
+                 connected-components clustering) over sf0.001.
+``queries``    — one entry per implemented operator from SURVEY.md §2 and
+                 the training-data-pipeline ops (dedup, similarity search,
+                 text analysis), each a (spark, sf_dir) -> DataFrame.
+``oracle_sql`` — DuckDB-equivalent ANSI SQL per query (omitted only for
+                 genuinely non-SQL-expressible ops, e.g. iterative CC).
 """
 
 from __future__ import annotations
@@ -16,23 +18,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from wdel_spark.entry_pipeline import entry_flagship
+
+    return entry_flagship(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from wdel_spark.queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from wdel_spark.queries import REGISTRY
+
+    return {
+        name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None
+    }

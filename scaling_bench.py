@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling evidence (BASELINE.json north rule).
+
+No multi-node cluster exists in the sandbox, so the N-vs-4N-executors
+criterion is evidenced as the same job on the same input at local[8] vs
+local[32] (4x cores).  Each level runs in its own subprocess (fresh JVM);
+job wall time excludes session startup.  Efficiency = (T_8 / T_32) / 4.
+
+Usage:  python scaling_bench.py            # orchestrates both levels
+        python scaling_bench.py --cores N  # one measured run (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_one(cores: int, sf_dir: str) -> None:
+    from wdel_spark.session import get_spark
+    from wdel_spark.entry_pipeline import er_over_testdata
+
+    spark = get_spark(f"wdel_scaling_{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 32))
+    # warm the JVM + file listing so the measured pass is compute-bound
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    t0 = time.perf_counter()
+    n = er_over_testdata(spark, sf_dir).count()
+    dt = time.perf_counter() - t0
+    print(json.dumps({"cores": cores, "sec": round(dt, 3), "rows": n}))
+    spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--cores" in sys.argv:
+        run_one(int(sys.argv[sys.argv.index("--cores") + 1]), sf_dir)
+        return
+    results = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--cores", str(cores)],
+            capture_output=True, text=True, check=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    t8, t32 = results[8]["sec"], results[32]["sec"]
+    eff = (t8 / t32) / 4.0
+    docs = results[32]["rows"]
+    summary = {
+        "sf_dir": sf_dir,
+        "t_local8_sec": t8,
+        "t_local32_sec": t32,
+        "speedup_8_to_32": round(t8 / t32, 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "mentions": docs,
+    }
+    print(json.dumps(summary))
+    with open("BENCH_SCALING.json", "w") as f:
+        json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

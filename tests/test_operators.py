@@ -1,0 +1,73 @@
+"""Operator tests: connected components, top-k, salted join."""
+
+from pyspark.sql import functions as F
+
+from wdel_spark.operators import (
+    connected_components,
+    top_k_per_group,
+    salted_join,
+)
+
+
+def _cc_dict(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+
+
+def test_cc_two_components(spark):
+    comp = _cc_dict(spark, [(1, 2), (2, 3), (10, 11)])
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert len(comp) == 5
+
+
+def test_cc_chain_and_star(spark):
+    # long chain (worst case for naive propagation) + hub star
+    chain = [(i, i + 1) for i in range(0, 40)]
+    star = [(100, 100 + i) for i in range(1, 20)]
+    comp = _cc_dict(spark, chain + star)
+    assert all(comp[i] == 0 for i in range(41))
+    assert all(comp[100 + i] == 100 for i in range(20))
+
+
+def test_cc_self_loops_and_singletons(spark):
+    comp = _cc_dict(spark, [(5, 5), (7, 8)])
+    assert comp[5] == 5
+    assert comp[7] == comp[8] == 7
+
+
+def test_top_k_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [("g", "b", 1.0), ("g", "a", 1.0), ("g", "c", 0.5)],
+        "grp string, qid string, score double",
+    )
+    out = top_k_per_group(
+        df, ["grp"], [F.desc("score"), F.asc("qid")], 2
+    ).collect()
+    got = [(r["qid"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [("a", 1), ("b", 2)]  # tie broken by qid asc
+
+
+def test_salted_join_matches_plain_join(spark):
+    probe = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in (["hot"] if i % 2 else ["k%d" % i])],
+        "key string, val int",
+    )
+    build = spark.createDataFrame(
+        [("hot", "H"), ("k2", "A"), ("k4", "B")], "key string, tag string"
+    )
+    plain = set(
+        map(tuple, probe.join(build, "key").select("key", "val", "tag").collect())
+    )
+    salted = set(
+        map(
+            tuple,
+            salted_join(probe, build, "key", salt_mod=4, hot_threshold=10)
+            .select("key", "val", "tag")
+            .collect(),
+        )
+    )
+    assert salted == plain and len(plain) > 0

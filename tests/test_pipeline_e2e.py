@@ -1,0 +1,123 @@
+"""End-to-end correctness: Spark pipeline vs pandas oracle + gold labels.
+
+The driver-authoritative gate (BASELINE.json): pairwise F1 >= 0.99 on
+labeled mention pairs at the same blocking key vs the reference clusters
+(here: the pandas oracle, which reimplements the pipeline independently).
+We additionally require *exact* partition agreement with the oracle and
+F1 >= 0.99 against the generator's gold entity labels.
+"""
+
+import pandas as pd
+import pytest
+
+from wdel_spark.datagen import (
+    gen_documents_pandas,
+    gen_labeled_pairs_pandas,
+)
+from wdel_spark.oracle import run_oracle, pairwise_f1
+from wdel_spark.plans import run_pipeline, PipelineParams
+
+
+@pytest.fixture(scope="module")
+def spark_result(spark, corpus_spark):
+    res = run_pipeline(spark, corpus_spark, workdir=None)
+    clusters = res["clusters"].toPandas()
+    return res, clusters
+
+
+@pytest.fixture(scope="module")
+def oracle_result(small_cfg, kb_pandas):
+    docs, gold = gen_documents_pandas(small_cfg)
+    return (
+        run_oracle(
+            docs,
+            kb_pandas["kb_aliases"],
+            kb_pandas["entity_vectors"],
+            kb_pandas["redirects"],
+            kb_pandas["wikimedia_filter"],
+        ),
+        gold,
+    )
+
+
+def _partition_pairs_equal(a: pd.DataFrame, a_col, b: pd.DataFrame, b_col):
+    """Exact partition equivalence of two clusterings over the same items."""
+    am = {(r.doc_id, r.span_idx): getattr(r, a_col) for r in a.itertuples()}
+    bm = {(r.doc_id, r.span_idx): getattr(r, b_col) for r in b.itertuples()}
+    assert set(am) == set(bm)
+    # group by label on each side; compare the set of frozensets
+    def groups(m):
+        g = {}
+        for k, v in m.items():
+            g.setdefault(v, set()).add(k)
+        return {frozenset(v) for v in g.values()}
+
+    return groups(am) == groups(bm)
+
+
+def test_spark_matches_oracle_exactly(spark_result, oracle_result):
+    _, clusters = spark_result
+    oracle, _ = oracle_result
+    assert _partition_pairs_equal(
+        clusters, "cluster_id", oracle["clusters"], "cluster_key"
+    )
+
+
+def test_pairwise_f1_vs_oracle_on_labeled_pairs(
+    spark_result, oracle_result, small_cfg
+):
+    _, clusters = spark_result
+    oracle, _ = oracle_result
+    pairs = gen_labeled_pairs_pandas(small_cfg, max_pairs=3000)
+    f1 = pairwise_f1(
+        clusters,
+        oracle["clusters"],
+        pairs.drop(columns=["same"]),
+        pred_col="cluster_id",
+        gold_col="cluster_key",
+    )
+    assert f1 >= 0.99, f1
+
+
+def test_pairwise_f1_vs_gold_labels(spark_result, small_cfg):
+    _, clusters = spark_result
+    pairs = gen_labeled_pairs_pandas(small_cfg, max_pairs=3000)
+    f1 = pairwise_f1(clusters, None, pairs, pred_col="cluster_id")
+    assert f1 >= 0.99, f1
+
+
+def test_counters_present_and_sane(spark_result):
+    res, clusters = spark_result
+    c = res["counters"]
+    assert c["mentions_extracted"] > 0
+    assert c["candidates_generated"] >= c["edges_kept"]
+    assert c["pairs_scored"] == c["candidates_generated"]
+    assert c["span_invariant_violations"] == 0
+    assert len(clusters) == c["mentions_extracted"]
+
+
+def test_assignment_accuracy_vs_gold(spark_result, oracle_result, spark):
+    res, _ = spark_result
+    _, gold = oracle_result
+    ranked = res["ranked"].toPandas()
+    top1 = ranked[(ranked["rank"] == 1) & (ranked["score"] >= 0.3)]
+    a = top1.merge(gold, on=["doc_id", "span_idx"])
+    assert (a["qid"] == a["gold_qid"]).mean() >= 0.98
+    assert len(a) / len(gold) >= 0.97  # coverage
+
+
+def test_join_strategies_agree(spark, corpus_spark, spark_result):
+    """broadcast / sortmerge / salted blocking must be semantically equal."""
+    _, base = spark_result
+    for strategy in ("sortmerge", "salted"):
+        res = run_pipeline(
+            spark,
+            corpus_spark,
+            workdir=None,
+            params=PipelineParams(join_strategy=strategy,
+                                  hot_threshold=50, salt_mod=4),
+        )
+        got = res["clusters"].toPandas()
+        assert _partition_pairs_equal(got, "cluster_id", base, "cluster_id"), (
+            strategy
+        )

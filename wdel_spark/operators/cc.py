@@ -75,7 +75,7 @@ def _small_star(edges: DataFrame) -> DataFrame:
 def _fingerprint(edges: DataFrame) -> tuple:
     row = edges.agg(
         F.count("*").alias("n"),
-        F.sum(F.xxhash64("src", "dst")).alias("h"),
+        F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
     ).first()
     return (row["n"], row["h"])
 
@@ -101,11 +101,12 @@ def connected_components(
         if fp == prev_fp:
             break
         prev_fp = fp
-    # Fixpoint is star-shaped: each edge is (component_min, member).
+    # Fixpoint is star-shaped: canonical orientation makes every edge
+    # (component_min=src, member=dst); the center maps to itself.
     comp = (
         e.select(F.col("dst").alias("node"), F.col("src").alias("component"))
         .union(e.select(F.col("src").alias("node"),
-                        F.col("dst").alias("component")))
+                        F.col("src").alias("component")))
         .groupBy("node")
         .agg(F.min("component").alias("component"))
     )

@@ -1,0 +1,681 @@
+"""Driver-contract query registry: SURVEY.md §2 operators over the
+/root/testdata tables, each with a DuckDB-equivalent oracle SQL.
+
+Design rules for hash-exact Spark/DuckDB parity:
+  - money aggregates go through DECIMAL casts (exact arithmetic both
+    engines) and are cast back to DOUBLE at the end;
+  - transcendental math (exp, cosine) is rounded to 5-6 decimals — libm
+    noise is ~1e-15, far below the rounding step;
+  - every window is totally ordered (unique tiebreaker column);
+  - no raw timestamps in output — formatted strings only;
+  - column names aliased identically on both sides.
+
+Each registry value is ``(spark_fn, oracle_sql_or_None)``.  ``None`` marks
+genuinely non-SQL-expressible ops (iterative CC, the full ER pipeline) —
+the driver records a rows-only check for those.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- relational
+
+def q_pricing_summary(spark, sf_dir):
+    """A1/A4 analog — TPC-H Q1 pricing summary (group-agg, decimal-exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_orders_per_customer(spark, sf_dir):
+    """W1 top-k window with deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+ORACLE_TOPK_ORDERS = """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) WHERE rnk <= 3
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """J1 analog — 3-way join customer⋈orders⋈nation + decimal agg.
+    Dimension sides broadcast (nation, customer are small)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+ORACLE_REVENUE_NATION = """
+SELECT n_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_parts_sold_semi(spark, sf_dir):
+    """P8/P10 semi-join: parts appearing in any lineitem."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p["p_partkey"] == li["l_partkey"], "left_semi")
+        .select("p_partkey", "p_name")
+    )
+
+
+ORACLE_PARTS_SOLD = """
+SELECT p_partkey, p_name FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+def q_customers_no_orders_anti(spark, sf_dir):
+    """P6 anti-join: customers without orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+ORACLE_CUST_NO_ORDERS = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_redirect_coalesce(spark, sf_dir):
+    """J3 redirect-normalization shape: left join + coalesce fallback."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n),
+               s["s_nationkey"] == n["n_nationkey"], "left")
+        .select(
+            "s_suppkey",
+            F.coalesce("n_name", F.lit("unknown")).alias("nation_name"),
+        )
+    )
+
+
+ORACLE_REDIRECT = """
+SELECT s_suppkey, COALESCE(n_name, 'unknown') AS nation_name
+FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+def q_distinct_parts(spark, sf_dir):
+    """A2 distinct — semi-join reduction before KB fetch."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_partkey").distinct()
+
+
+ORACLE_DISTINCT_PARTS = "SELECT DISTINCT l_partkey FROM lineitem"
+
+
+def q_first_wins_dedup(spark, sf_dir):
+    """A3 first-wins dedup by key, deterministic (explicit order)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+    )
+
+
+ORACLE_FIRST_WINS = """
+SELECT l_orderkey, l_partkey, l_linenumber FROM (
+  SELECT l_orderkey, l_partkey, l_linenumber,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) rn
+  FROM lineitem) WHERE rn = 1
+"""
+
+
+# ------------------------------------------------------- window-normalize
+
+def q_minmax_normalize(spark, sf_dir):
+    """A8/W4 per-group min-max normalization with uniform fallback."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    mn, mx = F.min("value").over(w), F.max("value").over(w)
+    norm = F.when(mx == mn, F.lit(0.5)).otherwise(
+        (F.col("value") - mn) / (mx - mn))
+    return e.select(
+        "event_id", "user_id", F.round(norm, 6).alias("norm_value"))
+
+
+ORACLE_MINMAX = """
+SELECT event_id, user_id,
+       ROUND(CASE WHEN mx = mn THEN 0.5
+                  ELSE (value - mn) / (mx - mn) END, 6) AS norm_value
+FROM (SELECT event_id, user_id, value,
+             MIN(value) OVER (PARTITION BY user_id) mn,
+             MAX(value) OVER (PARTITION BY user_id) mx
+      FROM events)
+"""
+
+
+def q_softmax_per_user(spark, sf_dir):
+    """W3 softmax over each user's event values (max-shifted, stable)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    shifted = F.exp(F.col("value") - F.max("value").over(w))
+    return e.select(
+        "event_id", "user_id",
+        F.round(shifted / F.sum(shifted).over(w), 6).alias("softmax"),
+    )
+
+
+ORACLE_SOFTMAX = """
+SELECT event_id, user_id,
+       ROUND(e / SUM(e) OVER (PARTITION BY user_id), 6) AS softmax
+FROM (SELECT event_id, user_id,
+             EXP(value - MAX(value) OVER (PARTITION BY user_id)) AS e
+      FROM events)
+"""
+
+
+def q_recall_histogram(spark, sf_dir):
+    """A4 Recall@k histogram — rank events per user, count under cutoffs
+    (mirrors utils/io.py:20-50 Stats in the reference)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    ranked = e.withColumn("rnk", F.row_number().over(w))
+    cutoffs = [1, 4, 8, 10]
+    aggs = [
+        F.sum((F.col("rnk") <= k).cast("long")).alias(f"r_at_{k}")
+        for k in cutoffs
+    ]
+    return ranked.groupBy("event_type").agg(*aggs, F.count("*").alias("total"))
+
+
+ORACLE_RECALL = """
+SELECT event_type,
+       SUM(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END)  AS r_at_1,
+       SUM(CASE WHEN rnk <= 4 THEN 1 ELSE 0 END)  AS r_at_4,
+       SUM(CASE WHEN rnk <= 8 THEN 1 ELSE 0 END)  AS r_at_8,
+       SUM(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS r_at_10,
+       COUNT(*) AS total
+FROM (SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) rnk
+      FROM events)
+GROUP BY event_type
+"""
+
+
+def q_argmax_per_user(spark, sf_dir):
+    """W5 argmax with first-index-wins tie-break (eval.py:218 semantics)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", F.round("value", 6).alias("best_value"))
+    )
+
+
+ORACLE_ARGMAX = """
+SELECT user_id, event_id, ROUND(value, 6) AS best_value FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_rank_of_gold(spark, sf_dir):
+    """W6 rank-of-gold pointer: position of each user's 'click' event in
+    their value-ranked list, -1 when absent (coalesce fallback)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    ranked = e.withColumn("rnk", F.row_number().over(w))
+    return ranked.groupBy("user_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("event_type") == "click", F.col("rnk"))),
+            F.lit(-1),
+        ).cast("long").alias("gold_rank")
+    )
+
+
+ORACLE_RANK_OF_GOLD = """
+SELECT user_id,
+       CAST(COALESCE(MIN(CASE WHEN event_type = 'click' THEN rnk END), -1)
+            AS BIGINT) AS gold_rank
+FROM (SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id) rnk
+      FROM events)
+GROUP BY user_id
+"""
+
+
+# ------------------------------------------------------------ set ops
+
+def q_union_shards(spark, sf_dir):
+    """U1/U2 shard union + distinct (qid-keyed, no offset rebase)."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.where(F.col("lang") == "en").select("doc_id", "lang")
+    b = d.where(F.col("source") == "src1").select("doc_id", "lang")
+    return a.union(b).distinct()
+
+
+ORACLE_UNION_SHARDS = """
+SELECT DISTINCT doc_id, lang FROM (
+  SELECT doc_id, lang FROM documents WHERE lang = 'en'
+  UNION ALL
+  SELECT doc_id, lang FROM documents WHERE source = 'src1')
+"""
+
+
+def q_negatives_excluding_gold(spark, sf_dir):
+    """U3 list-concat-excluding-index: all events per user except the
+    argmax one (negatives = candidates minus the gold index)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") != 1)
+        .select("user_id", "event_id")
+    )
+
+
+ORACLE_NEGATIVES = """
+SELECT user_id, event_id FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) rn
+  FROM events) WHERE rn <> 1
+"""
+
+
+# ------------------------------------------------------- string functions
+
+def q_string_library(spark, sf_dir):
+    """P1/P7/F9-ish expression library: regexp_extract, lower, concat,
+    substring, length over part."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_num"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+ORACLE_STRING_LIB = r"""
+SELECT p_partkey,
+       LOWER(p_name) AS name_lower,
+       COALESCE(REGEXP_EXTRACT(p_brand, '(\d+)', 1), '') AS brand_num,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       SUBSTRING(p_name, 1, 8) AS name_prefix,
+       LENGTH(p_name) AS name_len
+FROM part
+"""
+
+
+def q_levenshtein_pairs(spark, sf_dir):
+    """M4-component: Catalyst builtin levenshtein on joined name pairs."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "c_custkey",
+            F.levenshtein(F.lower("c_name"), F.lower("n_name")).alias("lev"),
+        )
+    )
+
+
+ORACLE_LEVENSHTEIN = """
+SELECT c_custkey, LEVENSHTEIN(LOWER(c_name), LOWER(n_name)) AS lev
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def q_context_window(spark, sf_dir):
+    """F3/F4 char-budget context split around the document midpoint."""
+    d = _t(spark, sf_dir, "documents")
+    mid = F.floor(F.col("n_chars") / 2).cast("int")
+    return d.select(
+        "doc_id",
+        F.substring(F.col("text"), 1, 40).alias("head_ctx"),
+        F.col("text").substr(
+            F.greatest(mid - F.lit(20), F.lit(1)), F.lit(40)
+        ).alias("mid_ctx"),
+    )
+
+
+ORACLE_CONTEXT = """
+SELECT doc_id,
+       SUBSTRING(text, 1, 40) AS head_ctx,
+       SUBSTRING(text, GREATEST(CAST(FLOOR(n_chars/2) AS INT) - 20, 1), 40)
+           AS mid_ctx
+FROM documents
+"""
+
+
+# ----------------------------------------------- training-data pipeline ops
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup via content hash: groups with >1 copy (hash-groupBy)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.count("*").alias("n_copies"),
+             F.min("doc_id").alias("canonical_doc"))
+        .where(F.col("n_copies") >= 1)
+    )
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT MD5(text) AS content_hash, COUNT(*) AS n_copies,
+       MIN(doc_id) AS canonical_doc
+FROM documents GROUP BY MD5(text) HAVING COUNT(*) >= 1
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting (whitespace tokenization) per language."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " +"))
+    return d.groupBy("lang").agg(
+        F.sum(ntok.cast("long")).alias("total_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+ORACLE_TOKEN_COUNT = """
+SELECT lang,
+       SUM(LENGTH(REGEXP_REPLACE(TRIM(text), ' +', ' ', 'g'))
+           - LENGTH(REPLACE(REGEXP_REPLACE(TRIM(text), ' +', ' ', 'g'), ' ', ''))
+           + CASE WHEN TRIM(text) = '' THEN 0 ELSE 1 END) AS total_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: char length, token count, mean token length,
+    stopword ratio ('the'/'a' as stand-ins)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " +")
+    ntok = F.size(toks)
+    nstop = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_char"),
+        ntok.alias("n_tok"),
+        F.round(nstop.cast("double") / ntok, 6).alias("stopword_ratio"),
+    )
+
+
+ORACLE_QUALITY = """
+SELECT doc_id, LENGTH(text) AS n_char,
+       len(string_split_regex(text, ' +')) AS n_tok,
+       ROUND(len(list_filter(string_split_regex(text, ' +'),
+                             t -> t IN ('the', 'a')))::DOUBLE
+             / len(string_split_regex(text, ' +')), 6) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_lang_id_heuristic(spark, sf_dir):
+    """Language-ID n-gram heuristic: per-doc hit counts of language-marker
+    tokens vs actual lang tag (confusion-matrix style counts)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " +")
+    hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "data")))
+    pred = F.when(hits >= 3, F.lit("en")).otherwise(F.lit("other"))
+    return d.groupBy("lang", pred.alias("pred_lang")).agg(
+        F.count("*").alias("n"))
+
+
+ORACLE_LANG_ID = """
+SELECT lang,
+       CASE WHEN len(list_filter(string_split_regex(text, ' +'),
+                                 t -> t IN ('the', 'a', 'data'))) >= 3
+            THEN 'en' ELSE 'other' END AS pred_lang,
+       COUNT(*) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprinting: first-8-hex of md5 over normalized text
+    (rolling-hash stand-in), collision histogram."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.substring(F.md5(F.lower(F.col("text"))), 1, 8)
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id, SUBSTRING(MD5(LOWER(text)), 1, 8) AS fingerprint
+FROM documents
+"""
+
+
+def q_events_hourly(spark, sf_dir):
+    """Streaming-shaped tumbling-window rollup (batch analog): events per
+    hour per type.  Timestamps exported as formatted strings."""
+    e = _t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH")
+    return e.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------- embeddings
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k similarity search against query vec_id=0.
+
+    Spark plan: broadcast the single query vector as a literal array,
+    JVM-side dot product via aggregate(zip_with(...)) — no Python in the
+    scan; one window for global top-k.  The IVF/LSH variant for the true
+    10^12 scale lives in the ER blocking join (same pattern: key-partition
+    then exact re-rank)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x))
+    qn = float(sum(float(x) * float(x) for x in q) ** 0.5)
+    cos = dot / (norm * F.lit(qn))
+    ranked = (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", "label", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+    return ranked
+
+
+ORACLE_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label,
+       ROUND(list_dot_product(embedding, qv) /
+             (sqrt(list_dot_product(embedding, embedding)) *
+              sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_embedding_class_centroids(spark, sf_dir):
+    """Per-label centroid norms — array agg via posexplode + regroup
+    (the partial-aggregate pattern the embedding pool build uses, U1)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v"))
+    cent = ex.groupBy("label", "dim").agg(
+        F.avg("v").alias("c"), F.count("*").alias("n"))
+    return cent.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 5)
+        .alias("centroid_norm"),
+        F.max("n").alias("n_vecs"),
+    )
+
+
+ORACLE_CENTROIDS = """
+WITH ex AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings)
+, cent AS (
+  SELECT label, dim, AVG(v) AS c, COUNT(*) AS n FROM ex GROUP BY 1, 2)
+SELECT label, ROUND(SQRT(SUM(c * c)), 5) AS centroid_norm,
+       MAX(n) AS n_vecs
+FROM cent GROUP BY label
+"""
+
+
+# --------------------------------------------------- ER pipeline (weak-check)
+
+def q_er_clusters_tokens(spark, sf_dir):
+    """The flagship ER pipeline run self-supervised over the driver corpus:
+    token mentions blocked/scored/clustered against a KB derived from the
+    same corpus vocabulary.  Non-SQL-expressible (iterative CC) — driver
+    records rows-only."""
+    from wdel_spark.entry_pipeline import er_over_testdata
+
+    return er_over_testdata(spark, sf_dir)
+
+
+def q_er_mention_stats(spark, sf_dir):
+    """SQL-checkable slice of the ER derivation: mention spans extracted
+    from the token stream with deterministic kind assignment."""
+    from wdel_spark.entry_pipeline import derive_spans_documents
+
+    docs = derive_spans_documents(spark, sf_dir)
+    m = docs.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span"))
+    return (
+        m.groupBy(F.col("span.kind").alias("kind"))
+        .agg(F.count("*").alias("n_spans"),
+             F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+ORACLE_ER_MENTION_STATS = """
+WITH toks AS (
+  SELECT doc_id,
+         generate_subscripts(string_split_regex(text, ' +'), 1) - 1 AS pos
+  FROM documents),
+spans AS (
+  SELECT doc_id, pos,
+         CASE WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || ':' ||
+                                 CAST(pos AS VARCHAR)), 1, 1)
+                   IN ('0', '1', '2') THEN 'mention'
+              WHEN SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || ':' ||
+                                 CAST(pos AS VARCHAR)), 1, 1) = '3'
+                   THEN 'media'
+              ELSE 'text' END AS kind
+  FROM toks)
+SELECT kind, COUNT(*) AS n_spans, COUNT(DISTINCT doc_id) AS n_docs
+FROM spans GROUP BY kind
+"""
+
+
+# ----------------------------------------------------------------- registry
+
+REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
+    "topk_orders_per_customer": (q_topk_orders_per_customer, ORACLE_TOPK_ORDERS),
+    "revenue_by_nation": (q_revenue_by_nation, ORACLE_REVENUE_NATION),
+    "parts_sold_semi": (q_parts_sold_semi, ORACLE_PARTS_SOLD),
+    "customers_no_orders_anti": (q_customers_no_orders_anti, ORACLE_CUST_NO_ORDERS),
+    "redirect_coalesce": (q_redirect_coalesce, ORACLE_REDIRECT),
+    "distinct_parts": (q_distinct_parts, ORACLE_DISTINCT_PARTS),
+    "first_wins_dedup": (q_first_wins_dedup, ORACLE_FIRST_WINS),
+    "minmax_normalize": (q_minmax_normalize, ORACLE_MINMAX),
+    "softmax_per_user": (q_softmax_per_user, ORACLE_SOFTMAX),
+    "recall_histogram": (q_recall_histogram, ORACLE_RECALL),
+    "argmax_per_user": (q_argmax_per_user, ORACLE_ARGMAX),
+    "rank_of_gold": (q_rank_of_gold, ORACLE_RANK_OF_GOLD),
+    "union_shards": (q_union_shards, ORACLE_UNION_SHARDS),
+    "negatives_excluding_gold": (q_negatives_excluding_gold, ORACLE_NEGATIVES),
+    "string_library": (q_string_library, ORACLE_STRING_LIB),
+    "levenshtein_pairs": (q_levenshtein_pairs, ORACLE_LEVENSHTEIN),
+    "context_window": (q_context_window, ORACLE_CONTEXT),
+    "exact_dedup": (q_exact_dedup, ORACLE_EXACT_DEDUP),
+    "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
+    "quality_score": (q_quality_score, ORACLE_QUALITY),
+    "lang_id_heuristic": (q_lang_id_heuristic, ORACLE_LANG_ID),
+    "doc_fingerprint": (q_doc_fingerprint, ORACLE_FINGERPRINT),
+    "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
+    "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
+    "embedding_class_centroids": (q_embedding_class_centroids, ORACLE_CENTROIDS),
+    "er_mention_stats": (q_er_mention_stats, ORACLE_ER_MENTION_STATS),
+    "er_clusters_tokens": (q_er_clusters_tokens, None),
+}
