@@ -1,0 +1,101 @@
+"""Dedup family + multimodal plumbing tests (hermetic, tiny frames)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from wdel_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    simhash_kernel,
+    simhash_column,
+    simhash_neardup_pairs,
+    embedding_neardup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    rows = [
+        ("d1", base),
+        ("d2", base),                                  # exact dup
+        ("d3", base.replace("quick", "quik")),         # near dup
+        ("d4", "completely different text about spark shuffles and joins"),
+        ("d5", "another unrelated document mentioning window functions"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_minhash_finds_dups_not_unrelated(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert pairs.get(("d1", "d2")) == 4          # identical: all bands
+    assert ("d1", "d3") in pairs or ("d3", "d1") in pairs  # near dup
+    assert ("d1", "d4") not in pairs
+    assert ("d4", "d5") not in pairs
+
+
+def test_ngram_jaccard_values(spark, docs):
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d1", "d4")], "doc_a string, doc_b string")
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ngram_jaccard(docs, pairs).collect()}
+    assert out[("d1", "d2")] == 1.0
+    assert out[("d1", "d4")] < 0.2
+
+
+def test_simhash_kernel_matches_spark(docs):
+    rows = docs.collect()
+    want = dict(zip([r["doc_id"] for r in rows],
+                    simhash_kernel([r["text"] for r in rows])))
+    got = {r["doc"]: r["simhash"] for r in simhash_column(docs).collect()}
+    assert got == {k: int(v) for k, v in want.items()}
+
+
+def test_simhash_neardup_pairs(docs):
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in simhash_neardup_pairs(docs, max_hamming=16).collect()}
+    assert out[("d1", "d2")] == 0
+    assert ("d1", "d3") in out and out[("d1", "d3")] <= 16
+    assert ("d1", "d4") not in out
+
+
+def test_embedding_neardup_blocked_matches_brute(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 16).astype("float32")
+    vecs[1] = vecs[0] + 0.01 * rng.randn(16).astype("float32")  # near dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(
+        emb, threshold=0.95, sign_bits=0).collect()}
+    blocked = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(
+        emb, threshold=0.95, sign_bits=4).collect()}
+    assert (0, 1) in brute
+    assert blocked <= brute          # blocking may only lose pairs
+    assert (0, 1) in blocked         # near-identical shares the orthant
+
+
+def test_media_pipeline_plumbing(spark, corpus_spark):
+    from wdel_spark.functions.media import (
+        media_table_from_documents,
+        extract_media_features,
+    )
+
+    media = media_table_from_documents(corpus_spark["documents"])
+    n_media = media.count()
+    assert n_media > 0
+    feats = extract_media_features(media)
+    rows = feats.collect()
+    assert len(rows) == n_media
+    # deterministic stub: feature is md5 of the payload
+    r = rows[0]
+    payload = hashlib.md5(r["media_ref"].encode()).hexdigest().encode()
+    assert r["feature_id"] == hashlib.md5(payload).hexdigest()[:16]
+    assert r["n_bytes"] == 32
+    assert 1 <= r["width"] <= 256 and 1 <= r["height"] <= 256

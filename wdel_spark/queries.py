@@ -600,6 +600,177 @@ FROM cent GROUP BY label
 """
 
 
+# ------------------------------------------------------------ dedup family
+
+def q_minhash_lsh_neardup(spark, sf_dir):
+    """MinHash+LSH near-duplicate candidate pairs (4 bands, 5-gram
+    shingles, md5-as-permutation — portable to the SQL oracle)."""
+    from wdel_spark.operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    return minhash_lsh_pairs(d, "doc_id", "text")
+
+
+ORACLE_MINHASH = """
+WITH sh AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         unnest(list_transform(range(1, GREATEST(LENGTH(text) - 4, 1) + 1),
+                               i -> SUBSTRING(text, i, 5))) AS s
+  FROM documents),
+mh AS (
+  SELECT doc, band, MIN(MD5(CAST(band AS VARCHAR) || s)) AS mh
+  FROM sh, (SELECT unnest(range(4)) AS band)
+  GROUP BY doc, band),
+sized AS (
+  SELECT doc, band, mh,
+         COUNT(*) OVER (PARTITION BY band, mh) AS bs
+  FROM mh)
+SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_shared_bands
+FROM sized a JOIN sized b
+  ON a.band = b.band AND a.mh = b.mh AND a.doc < b.doc
+WHERE a.bs <= 1000 AND b.bs <= 1000
+GROUP BY a.doc, b.doc
+"""
+
+
+def q_ngram_jaccard_neardup(spark, sf_dir):
+    """Exact 3-gram Jaccard over the MinHash candidate pairs (the verify
+    stage of the dedup pipeline)."""
+    from wdel_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text").select("doc_a", "doc_b")
+    return ngram_jaccard(d, pairs, "doc_id", "text", shingle_n=3)
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         unnest(list_transform(range(1, GREATEST(LENGTH(text) - 4, 1) + 1),
+                               i -> SUBSTRING(text, i, 5))) AS s
+  FROM documents),
+mh AS (
+  SELECT doc, band, MIN(MD5(CAST(band AS VARCHAR) || s)) AS mh
+  FROM sh, (SELECT unnest(range(4)) AS band)
+  GROUP BY doc, band),
+sized AS (
+  SELECT doc, band, mh, COUNT(*) OVER (PARTITION BY band, mh) AS bs
+  FROM mh),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM sized a JOIN sized b
+    ON a.band = b.band AND a.mh = b.mh AND a.doc < b.doc
+  WHERE a.bs <= 1000 AND b.bs <= 1000),
+g AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         list_distinct(list_transform(
+             range(1, GREATEST(LENGTH(text) - 2, 1) + 1),
+             i -> SUBSTRING(text, i, 3))) AS sh3
+  FROM documents)
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(len(list_intersect(ga.sh3, gb.sh3)) AS DOUBLE)
+             / (len(ga.sh3) + len(gb.sh3)
+                - len(list_intersect(ga.sh3, gb.sh3))), 6) AS jaccard
+FROM cand c JOIN g ga ON ga.doc = c.doc_a
+            JOIN g gb ON gb.doc = c.doc_b
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (brute-force verify on a bounded
+    id range; the blocked sign-bit variant is the scale path)."""
+    from wdel_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    return embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35, sign_bits=0)
+
+
+ORACLE_EMB_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.embedding, b.embedding) /
+             (sqrt(list_dot_product(a.embedding, a.embedding)) *
+              sqrt(list_dot_product(b.embedding, b.embedding))), 6)
+           AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 300 AND b.vec_id < 300
+  AND ROUND(list_dot_product(a.embedding, b.embedding) /
+            (sqrt(list_dot_product(a.embedding, a.embedding)) *
+             sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.35
+"""
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs — Arrow-batched 64-bit simhash kernel +
+    16-bit band blocking.  Kernel not SQL-expressible (weak check here;
+    exact kernel parity is pytest-verified against a pure-python oracle)."""
+    from wdel_spark.operators.dedup import simhash_neardup_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    return simhash_neardup_pairs(d, "doc_id", "text", max_hamming=16)
+
+
+def q_grouped_renest(spark, sf_dir):
+    """A1 group-to-nested analog: per-brand sorted name list (re-nest),
+    exported as a join-stable string."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("p_name")))
+        .alias("names"),
+        F.count("*").alias("n_parts"),
+    )
+
+
+ORACLE_GROUPED_RENEST = """
+SELECT p_brand, array_to_string(list_sort(list(p_name)), ',') AS names,
+       COUNT(*) AS n_parts
+FROM part GROUP BY p_brand
+"""
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: media spans -> binary payload table ->
+    Arrow-batched feature extraction (decode stubbed; schema/batching
+    real).  Weak check (binary + python kernel)."""
+    from wdel_spark.entry_pipeline import derive_spans_documents
+    from wdel_spark.functions.media import (
+        media_table_from_documents,
+        extract_media_features,
+    )
+
+    docs = derive_spans_documents(spark, sf_dir)
+    return extract_media_features(media_table_from_documents(docs))
+
+
+def q_media_span_stats(spark, sf_dir):
+    """SQL-checkable slice of the media pipeline: payload sizes per doc."""
+    from wdel_spark.entry_pipeline import derive_spans_documents
+    from wdel_spark.functions.media import media_table_from_documents
+
+    docs = derive_spans_documents(spark, sf_dir)
+    media = media_table_from_documents(docs)
+    return media.groupBy("doc_id").agg(
+        F.count("*").alias("n_media"),
+        F.sum(F.col("meta.n_bytes")).alias("total_bytes"),
+    )
+
+
+ORACLE_MEDIA_SPAN_STATS = """
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         generate_subscripts(string_split_regex(text, ' +'), 1) - 1 AS pos
+  FROM documents),
+media AS (
+  SELECT doc_id, pos FROM toks
+  WHERE SUBSTRING(MD5(doc_id || ':' || CAST(pos AS VARCHAR)), 1, 1) = '3')
+SELECT doc_id, COUNT(*) AS n_media, COUNT(*) * 32 AS total_bytes
+FROM media GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------- ER pipeline (weak-check)
 
 def q_er_clusters_tokens(spark, sf_dir):
@@ -676,6 +847,13 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "events_hourly": (q_events_hourly, ORACLE_EVENTS_HOURLY),
     "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
     "embedding_class_centroids": (q_embedding_class_centroids, ORACLE_CENTROIDS),
+    "minhash_lsh_neardup": (q_minhash_lsh_neardup, ORACLE_MINHASH),
+    "ngram_jaccard_neardup": (q_ngram_jaccard_neardup, ORACLE_NGRAM_JACCARD),
+    "embedding_neardup": (q_embedding_neardup, ORACLE_EMB_NEARDUP),
+    "simhash_neardup": (q_simhash_neardup, None),
+    "grouped_renest": (q_grouped_renest, ORACLE_GROUPED_RENEST),
+    "media_features": (q_media_features, None),
+    "media_span_stats": (q_media_span_stats, ORACLE_MEDIA_SPAN_STATS),
     "er_mention_stats": (q_er_mention_stats, ORACLE_ER_MENTION_STATS),
     "er_clusters_tokens": (q_er_clusters_tokens, None),
 }
