@@ -24,13 +24,15 @@ def test_pipeline_resumes_from_snapshots(spark, corpus_spark, tmp_path):
     assert counters["pairs_scored"] == counters["candidates_generated"]
     assert counters["edges_kept"] > 0
 
+    # collect run-1 output before the rerun overwrites its snapshot files
+    c1 = res1["clusters"].toPandas().sort_values(
+        ["doc_id", "span_idx"]).reset_index(drop=True)
+
     # simulate kill-after-S2: invalidate later stages, keep S1/S2
     for stage in ("s4_scored", "s5_ranked", "s6_clusters"):
         os.remove(os.path.join(wd, stage, "_manifest.json"))
 
     res2 = run_pipeline(spark, corpus_spark, workdir=wd)
-    c1 = res1["clusters"].toPandas().sort_values(
-        ["doc_id", "span_idx"]).reset_index(drop=True)
     c2 = res2["clusters"].toPandas().sort_values(
         ["doc_id", "span_idx"]).reset_index(drop=True)
     assert c1.equals(c2)

@@ -48,12 +48,16 @@ def minhash_signature(text_col: str | Column, n_bands: int = 4,
     document's shingles is the MinHash.  String mins are deterministic and
     portable to any SQL engine."""
     sh = char_shingles(text_col, shingle_n)
-    return [
-        F.array_min(
-            F.transform(sh, lambda s, b=b: F.md5(F.concat(F.lit(str(b)), s)))
+
+    def band_min(b: int) -> Column:
+        # NB: a one-arg lambda is required — a second (defaulted) parameter
+        # would make pyspark pass the array index into it
+        prefix = F.lit(str(b))
+        return F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(prefix, s)))
         ).alias(f"mh_{b}")
-        for b in range(n_bands)
-    ]
+
+    return [band_min(b) for b in range(n_bands)]
 
 
 def minhash_lsh_pairs(
@@ -216,11 +220,12 @@ def embedding_neardup_pairs(
     (cheap deterministic LSH — vectors in the same orthant; near-identical
     vectors almost surely share it) so the self-join is per-block instead
     of full cross.  0 = exact brute force (small inputs / verification)."""
+    vec_d = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(
-        F.transform(F.col(vec_col), lambda x: x * x),
+        F.transform(vec_d, lambda x: x * x),
         F.lit(0.0), lambda acc, x: acc + x))
     base = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.col(id_col).alias("id"), vec_d.alias("v"),
         norm.alias("nrm"))
     if sign_bits > 0:
         key = F.concat_ws(

@@ -689,16 +689,17 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 ORACLE_EMB_NEARDUP = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id < 300)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_dot_product(a.embedding, b.embedding) /
-             (sqrt(list_dot_product(a.embedding, a.embedding)) *
-              sqrt(list_dot_product(b.embedding, b.embedding))), 6)
-           AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE a.vec_id < 300 AND b.vec_id < 300
-  AND ROUND(list_dot_product(a.embedding, b.embedding) /
-            (sqrt(list_dot_product(a.embedding, a.embedding)) *
-             sqrt(list_dot_product(b.embedding, b.embedding))), 6) >= 0.35
+       ROUND(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) *
+              sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(b.v, b.v))), 6) >= 0.35
 """
 
 
