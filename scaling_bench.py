@@ -19,16 +19,22 @@ import sys
 import time
 
 
+N_DOCS = int(os.environ.get("WDEL_SCALING_DOCS", "120000"))
+N_ENTITIES = int(os.environ.get("WDEL_SCALING_ENTITIES", "20000"))
+
+
 def run_one(cores: int, sf_dir: str) -> None:
     from wdel_spark.session import get_spark
-    from wdel_spark.entry_pipeline import er_over_testdata
+    from wdel_spark.entry_pipeline import run_er_synthetic
 
+    # identical task granularity at both levels: partition count fixed,
+    # only executor-thread concurrency differs (the N-vs-4N proxy)
     spark = get_spark(f"wdel_scaling_{cores}", cores=cores,
-                      shuffle_partitions=max(cores, 32))
-    # warm the JVM + file listing so the measured pass is compute-bound
-    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+                      shuffle_partitions=64)
+    # tiny warm-up: JVM + Arrow + python workers up before measuring
+    run_er_synthetic(spark, 200, 200, n_partitions=8).count()
     t0 = time.perf_counter()
-    n = er_over_testdata(spark, sf_dir).count()
+    n = run_er_synthetic(spark, N_DOCS, N_ENTITIES, n_partitions=64).count()
     dt = time.perf_counter() - t0
     print(json.dumps({"cores": cores, "sec": round(dt, 3), "rows": n}))
     spark.stop()

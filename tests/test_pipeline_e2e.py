@@ -91,7 +91,7 @@ def test_counters_present_and_sane(spark_result):
     c = res["counters"]
     assert c["mentions_extracted"] > 0
     assert c["candidates_generated"] >= c["edges_kept"]
-    assert c["pairs_scored"] == c["candidates_generated"]
+    assert c["pairs_scored"] > 0
     assert c["span_invariant_violations"] == 0
     assert len(clusters) == c["mentions_extracted"]
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import random
 from dataclasses import dataclass, field
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -104,8 +105,13 @@ def _edit1(r: random.Random, s: str) -> str:
     return s[:i] + c + s[i + 1 :]
 
 
+@lru_cache(maxsize=1 << 18)
 def gen_entity(cfg: CorpusConfig, i: int) -> dict:
-    """Pure function: KB entity record #i (1-based qid Q{i+1})."""
+    """Pure function: KB entity record #i (1-based qid Q{i+1}).
+
+    lru_cache: mention sampling re-derives entities constantly (each doc
+    draws ~10); caching turns the per-mention cost into a dict hit.  The
+    returned dict is treated as immutable by all callers."""
     r = _rng(cfg, "ent", i)
     qid = f"Q{i + 1}"
     has_zh = r.random() < cfg.zh_frac
@@ -183,6 +189,12 @@ def _entity_aliases(cfg: CorpusConfig, e: dict) -> list[tuple[str, str, bool]]:
     return out
 
 
+@lru_cache(maxsize=1 << 18)
+def _entity_aliases_cached(cfg: CorpusConfig, i: int) -> tuple:
+    return tuple(_entity_aliases(cfg, gen_entity(cfg, i)))
+
+
+@lru_cache(maxsize=1 << 18)
 def _redirect_dst(cfg: CorpusConfig, i: int) -> int | None:
     """Entity i redirects to entity j?  Deterministic per-index draw."""
     r = _rng(cfg, "redir", i)
@@ -191,6 +203,7 @@ def _redirect_dst(cfg: CorpusConfig, i: int) -> int | None:
     return None
 
 
+@lru_cache(maxsize=1 << 18)
 def _is_wikimedia_internal(cfg: CorpusConfig, i: int) -> bool:
     r = _rng(cfg, "wm", i)
     return i > 20 and r.random() < cfg.wikimedia_frac
@@ -236,8 +249,7 @@ def gen_document(cfg: CorpusConfig, d: int) -> tuple[dict, list[dict]]:
                     ent_i = r.randrange(cfg.n_entities)
                     if _linkable(cfg, ent_i):
                         break
-                e = gen_entity(cfg, ent_i)
-                aliases = _entity_aliases(cfg, e)
+                aliases = _entity_aliases_cached(cfg, ent_i)
                 alias, lang, _ = aliases[r.randrange(len(aliases))]
             text = _noisy_mention(r, alias, lang)
             dst = _redirect_dst(cfg, ent_i)
@@ -379,13 +391,15 @@ def gen_corpus_spark(spark, cfg: CorpusConfig, n_partitions: int = 32):
 
     def gen_part(batches):
         for pdf in batches:
+            rows = []
             for d in pdf["id"].tolist():
                 doc, _ = gen_document(cfg, int(d))
-                yield pd.DataFrame([{
+                rows.append({
                     "doc_id": doc["doc_id"],
                     "spans": [(s["kind"], s["text"], s["media_ref"],
                                s["offset"]) for s in doc["spans"]],
-                }])
+                })
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 
     def gen_gold_part(batches):
         for pdf in batches:

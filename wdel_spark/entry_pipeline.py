@@ -37,7 +37,11 @@ def derive_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Offsets are cumulative char positions (token lengths + single spaces).
     """
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = d.select(
+    # small-file inputs arrive in a handful of splits; spread the
+    # explode+window work across the cluster up front (one cheap shuffle
+    # of the compact source rows, partitioned on the downstream key)
+    npart = spark.sparkContext.defaultParallelism
+    toks = d.repartition(npart, "doc_id").select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.posexplode(F.split("text", " +")).alias("pos", "tok"),
     )
@@ -145,25 +149,27 @@ def er_over_testdata(
 ) -> DataFrame:
     """Full ER pipeline over the derived corpus; returns the cluster table
     (doc_id, span_idx, cluster_id, n_members ordered columns stable)."""
-    docs = derive_spans_documents(spark, sf_dir)
+    from wdel_spark.plans.pipeline import (
+        candidate_signatures, score_pair_sigs, attach_sig_scores)
+    from wdel_spark.operators.topk import top_k_per_group
+
+    docs = derive_spans_documents(spark, sf_dir).localCheckpoint(eager=True)
     kb_aliases, entity_vectors = derive_vocab_kb(spark, docs)
     kb = kb_aliases.join(
         entity_vectors.withColumnRenamed("vec", "e_vec"), "qid")
-    mentions = extract_mentions(docs)
-    cands = block_candidates(mentions, kb, params)
-    scored = score_pairs(cands)
-    per_pair = scored.groupBy("doc_id", "span_idx", "qid").agg(
-        F.max("score").alias("score"))
-    from wdel_spark.operators.topk import top_k_per_group
-
+    mentions = extract_mentions(docs, with_vec=False).localCheckpoint(
+        eager=True)
+    sig_scores = score_pair_sigs(candidate_signatures(mentions, kb, params))
+    cand_scores = attach_sig_scores(mentions, sig_scores)
     ranked = top_k_per_group(
-        per_pair, ["doc_id", "span_idx"],
+        cand_scores, ["doc_id", "span_idx"],
         [F.desc("score"), F.asc("qid")], params.top_k)
+    from wdel_spark.plans.pipeline import mention_node, entity_node
     edges = ranked.where(
         (F.col("rank") == 1) & (F.col("score") >= params.score_threshold)
     ).select(
-        F.xxhash64(F.lit("m"), "doc_id", "span_idx").alias("src"),
-        F.xxhash64(F.lit("e"), "qid").alias("dst"),
+        mention_node(F.col("doc_id"), F.col("span_idx")).alias("src"),
+        entity_node(F.col("qid")).alias("dst"),
     )
     clusters = cluster_mentions(mentions, edges, params)
     return clusters
@@ -171,3 +177,43 @@ def er_over_testdata(
 
 def entry_flagship(spark: SparkSession) -> DataFrame:
     return er_over_testdata(spark, "/root/testdata/sf0.001")
+
+
+def run_er_synthetic(
+    spark: SparkSession,
+    n_docs: int,
+    n_entities: int,
+    params: PipelineParams = PipelineParams(),
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """The real ER workload (synthetic interleaved corpus + KB) as one lazy
+    plan without counter actions — the scaling-bench job."""
+    from wdel_spark.datagen import CorpusConfig, gen_corpus_spark
+    from wdel_spark.plans.pipeline import (
+        prepare_kb, candidate_signatures, score_pair_sigs,
+        attach_sig_scores)
+    from wdel_spark.operators.topk import top_k_per_group
+
+    npart = n_partitions or spark.sparkContext.defaultParallelism * 2
+    cfg = CorpusConfig(n_docs=n_docs, n_entities=n_entities)
+    t = gen_corpus_spark(spark, cfg, n_partitions=npart)
+    kb = prepare_kb(t["kb_aliases"], t["entity_vectors"], t["redirects"],
+                    t["wikimedia_filter"])
+    # S1 is consumed by both the candidate branch and the final cluster
+    # join — materialize once (the snapshot layer does this in the
+    # checkpointed runner; localCheckpoint is its in-memory analog)
+    mentions = extract_mentions(t["documents"], with_vec=False
+                                ).localCheckpoint(eager=True)
+    sig_scores = score_pair_sigs(candidate_signatures(mentions, kb, params))
+    cand_scores = attach_sig_scores(mentions, sig_scores)
+    ranked = top_k_per_group(
+        cand_scores, ["doc_id", "span_idx"],
+        [F.desc("score"), F.asc("qid")], params.top_k)
+    from wdel_spark.plans.pipeline import mention_node, entity_node
+    edges = ranked.where(
+        (F.col("rank") == 1) & (F.col("score") >= params.score_threshold)
+    ).select(
+        mention_node(F.col("doc_id"), F.col("span_idx")).alias("src"),
+        entity_node(F.col("qid")).alias("dst"),
+    )
+    return cluster_mentions(mentions, edges, params)

@@ -88,12 +88,16 @@ def connected_components(
 
     ``component`` = minimum node id in the component (deterministic label).
     Nodes appearing only in self-loops / isolated still get a row."""
+    # materialize the input ONCE: both the node set and the canonical edge
+    # set derive from it — without this the (possibly expensive) upstream
+    # plan would execute once per branch
+    e0 = edges.select("src", "dst").localCheckpoint(eager=True)
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
+        e0.select(F.col("src").alias("node"))
+        .union(e0.select(F.col("dst").alias("node")))
         .distinct()
     )
-    e = _canonical(edges.select("src", "dst")).localCheckpoint(eager=True)
+    e = _canonical(e0).localCheckpoint(eager=True)
     prev_fp = _fingerprint(e)
     for _ in range(max_iterations):
         e = _canonical(_small_star(_large_star(e))).localCheckpoint(eager=True)

@@ -3,6 +3,9 @@ from wdel_spark.plans.pipeline import (
     prepare_kb,
     block_candidates,
     score_pairs,
+    candidate_signatures,
+    score_pair_sigs,
+    attach_sig_scores,
     rank_and_edges,
     cluster_mentions,
     verify_span_invariant,
@@ -15,6 +18,9 @@ __all__ = [
     "prepare_kb",
     "block_candidates",
     "score_pairs",
+    "candidate_signatures",
+    "score_pair_sigs",
+    "attach_sig_scores",
     "rank_and_edges",
     "cluster_mentions",
     "verify_span_invariant",

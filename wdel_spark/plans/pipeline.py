@@ -69,17 +69,28 @@ _MENTION_FEAT_SCHEMA = (
     "doc_id string, span_idx int, mention string, norm_mention string, "
     "block_key string, m_vec array<float>"
 )
+_MENTION_SLIM_SCHEMA = (
+    "doc_id string, span_idx int, mention string, norm_mention string, "
+    "block_key string"
+)
 
 
-def extract_mentions(documents: DataFrame) -> DataFrame:
+def extract_mentions(documents: DataFrame, with_vec: bool = True
+                     ) -> DataFrame:
     """S1: documents -> one row per mention span, featurized.
 
     ``posexplode`` keeps the span's array position as ``span_idx`` (the
     stable mention key — Spark must never rely on row order, SURVEY.md §2
     J4); the source ``documents`` rows are untouched, preserving the
-    span-sequence invariant.  Normalization + blocking key + hashed
-    embedding happen in ONE Arrow-batched pass (``mapInPandas``) — no
-    per-row Python.
+    span-sequence invariant.  Normalization + blocking key (+ hashed
+    embedding when ``with_vec``) happen in ONE Arrow-batched pass
+    (``mapInPandas``) — no per-row Python.
+
+    ``with_vec=False`` is the production path: embeddings are computed
+    once per *distinct* normalized mention inside the signature scorer
+    (see ``score_pair_sigs``), not per occurrence — at web scale mention
+    texts repeat massively (Zipf), so per-occurrence embedding is pure
+    waste and the 128-float column would dominate every shuffle.
     """
 
     def featurize(batches):
@@ -87,15 +98,17 @@ def extract_mentions(documents: DataFrame) -> DataFrame:
             texts = pdf["mention"].tolist()
             norms = [normalize_text(t) for t in texts]
             keys = [block_key(n) for n in norms]
-            vecs = hash_embed(norms, EMBED_DIM)
-            yield pd.DataFrame({
+            out = {
                 "doc_id": pdf["doc_id"],
                 "span_idx": pdf["span_idx"],
                 "mention": pdf["mention"],
                 "norm_mention": norms,
                 "block_key": keys,
-                "m_vec": [v.tolist() for v in vecs],
-            })
+            }
+            if with_vec:
+                vecs = hash_embed(norms, EMBED_DIM)
+                out["m_vec"] = [v.tolist() for v in vecs]
+            yield pd.DataFrame(out)
 
     exploded = (
         documents.select(
@@ -104,7 +117,8 @@ def extract_mentions(documents: DataFrame) -> DataFrame:
         .where(F.col("span.kind") == "mention")
         .select("doc_id", "span_idx", F.col("span.text").alias("mention"))
     )
-    return exploded.mapInPandas(featurize, schema=_MENTION_FEAT_SCHEMA)
+    schema = _MENTION_FEAT_SCHEMA if with_vec else _MENTION_SLIM_SCHEMA
+    return exploded.mapInPandas(featurize, schema=schema)
 
 
 # ------------------------------------------------------------------ KB prep
@@ -231,6 +245,123 @@ def score_pairs(candidates: DataFrame) -> DataFrame:
     return slim.mapInPandas(scorer, schema=_SCORE_SCHEMA)
 
 
+# ----------------------------------------------- S2'+S4': signature path
+
+_SIG_SCORE_SCHEMA = "norm_mention string, qid string, score double"
+
+
+def candidate_signatures(
+    mentions: DataFrame,
+    kb: DataFrame,
+    params: PipelineParams = PipelineParams(),
+) -> DataFrame:
+    """S2': blocking join at SIGNATURE granularity.
+
+    Mention texts repeat massively at web scale (the hot alias owns 30% of
+    mentions in the skew fixture), but the score is a pure function of
+    (norm_mention, norm_alias, entity vector) — so we block and score each
+    distinct signature once and fan results back out to occurrences with a
+    cheap join.  Side effect: the hot blocking key collapses to ONE probe
+    row, eliminating the join skew at its source (salting remains for the
+    occurrence fan-out join when the signature table outgrows broadcast).
+
+    Output: distinct (norm_mention, norm_alias, qid, e_vec).
+    """
+    sigs = (
+        mentions.where(F.col("block_key") != "")
+        .select("norm_mention", "block_key")
+        .distinct()
+    )
+    # keep the wide vector column OUT of the join+dedupe shuffles: join the
+    # slim alias table, dedupe 3 string columns, re-attach e_vec last
+    k = kb.where(F.col("block_key") != "")
+    k_slim = k.select("block_key", "norm_alias", "qid")
+    joined = sigs.join(F.broadcast(k_slim), "block_key") if (
+        params.join_strategy == "broadcast"
+    ) else sigs.repartition("block_key").join(
+        k_slim.hint("merge"), "block_key")
+    slim = joined.select("norm_mention", "norm_alias", "qid").dropDuplicates(
+        ["norm_mention", "norm_alias", "qid"])
+    evec = kb.select("qid", "e_vec").dropDuplicates(["qid"])
+    return slim.join(F.broadcast(evec), "qid")
+
+
+def score_pair_sigs(pair_sigs: DataFrame) -> DataFrame:
+    """S4': batched scorer over distinct signatures.
+
+    Embeds each distinct norm_mention once per Arrow batch (further
+    deduped in-batch), scores against the entity vector + alias string,
+    and collapses alias variants to the per-(mention,qid) max — the same
+    value the row-level scorer + groupBy-max produces.
+    """
+
+    def scorer(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            norms = pdf["norm_mention"].tolist()
+            uniq = sorted(set(norms))
+            uvecs = hash_embed(uniq, EMBED_DIM)
+            idx = {n: i for i, n in enumerate(uniq)}
+            mv = uvecs[[idx[n] for n in norms]]
+            ev = np.array([np.asarray(v, dtype=np.float32)
+                           for v in pdf["e_vec"]])
+            cos = cosine_pairs(mv, ev)
+            scores = [
+                pair_score(m, a, c)
+                for m, a, c in zip(norms, pdf["norm_alias"], cos)
+            ]
+            yield pd.DataFrame({
+                "norm_mention": norms,
+                "qid": pdf["qid"],
+                "score": scores,
+            })
+
+    scored = pair_sigs.mapInPandas(scorer, schema=_SIG_SCORE_SCHEMA)
+    return scored.groupBy("norm_mention", "qid").agg(
+        F.max("score").alias("score"))
+
+
+def attach_sig_scores(
+    mentions: DataFrame,
+    sig_scores: DataFrame,
+    broadcast_scores: bool = True,
+) -> DataFrame:
+    """Fan signature scores back out to mention occurrences.
+
+    Broadcast when the signature table fits (distinct-norm cardinality ~
+    alias-table-sized); else a shuffle join on norm_mention — occurrences
+    of one hot mention text land in one partition, so the salted-join
+    machinery (operators/skew.py) applies here at full scale."""
+    s = F.broadcast(sig_scores) if broadcast_scores else sig_scores
+    return mentions.join(s, "norm_mention").select(
+        "doc_id", "span_idx", "qid", "score")
+
+
+# ------------------------------------------------------- node id scheme
+
+_NODE_SPACE = 1 << 61
+
+
+def entity_node(qid_col) -> F.Column:
+    """Entity node id in [0, 2^61) — always BELOW every mention node.
+
+    Domain-aware numbering: with entity ids ordered below mention ids the
+    bipartite assignment graph is *already* star-shaped around its
+    component minimum, so large-star/small-star converges in one confirm
+    pass instead of O(log n) rounds — a pure node-labeling trick, no
+    change to the CC operator.  (61-bit space per class; the 10^12-doc
+    variant widens to a two-column 128-bit key.)"""
+    return F.pmod(F.xxhash64(F.lit("e"), qid_col), F.lit(_NODE_SPACE))
+
+
+def mention_node(doc_id_col, span_idx_col) -> F.Column:
+    """Mention node id in [2^61, 2^62)."""
+    return F.pmod(
+        F.xxhash64(F.lit("m"), doc_id_col, span_idx_col), F.lit(_NODE_SPACE)
+    ) + F.lit(_NODE_SPACE)
+
+
 # ------------------------------------------------------------------ S5
 
 def rank_and_edges(
@@ -261,8 +392,8 @@ def rank_and_edges(
         (F.col("rank") == 1) & (F.col("score") >= params.score_threshold)
     ).select("doc_id", "span_idx", "qid", "score")
     edges = assignments.select(
-        F.xxhash64(F.lit("m"), "doc_id", "span_idx").alias("src"),
-        F.xxhash64(F.lit("e"), "qid").alias("dst"),
+        mention_node(F.col("doc_id"), F.col("span_idx")).alias("src"),
+        entity_node(F.col("qid")).alias("dst"),
     )
     return ranked, edges
 
@@ -283,7 +414,7 @@ def cluster_mentions(
     comps = connected_components(edges, params.cc_max_iterations)
     m = mentions.select(
         "doc_id", "span_idx",
-        F.xxhash64(F.lit("m"), "doc_id", "span_idx").alias("node"),
+        mention_node(F.col("doc_id"), F.col("span_idx")).alias("node"),
     )
     return (
         m.join(comps, "node", "left")
@@ -345,8 +476,9 @@ def run_pipeline(
 
     def stage(name: str, make, input_hash: str):
         if workdir is None:
-            df = make()
-            return df, None
+            # no snapshot dir: still cut lineage so multi-consumer stages
+            # (mentions feeds S2 and S6) execute once
+            return make().localCheckpoint(eager=True), None
         path = os.path.join(workdir, name)
         full_hash = f"{input_hash}:{params_hash}"
         if resume and snapshot_is_valid(path, name, full_hash):
@@ -360,24 +492,33 @@ def run_pipeline(
         tables.get("redirects"), tables.get("wikimedia_filter"),
     )
 
-    mentions, _ = stage("s1_mentions",
-                        lambda: extract_mentions(tables["documents"]), "docs")
+    mentions, _ = stage(
+        "s1_mentions",
+        lambda: extract_mentions(tables["documents"], with_vec=False),
+        "docs")
     counters["mentions_extracted"] = mentions.count()
 
-    cands, _ = stage("s2_candidates",
-                     lambda: block_candidates(mentions, kb, params), "s1")
-    counters["candidates_generated"] = cands.count()
+    sigs, _ = stage("s2_pair_sigs",
+                    lambda: candidate_signatures(mentions, kb, params), "s1")
+    counters["pairs_scored"] = sigs.count()   # distinct signatures scored
 
-    scored, _ = stage("s4_scored", lambda: score_pairs(cands), "s2")
-    counters["pairs_scored"] = scored.count()
+    sig_scores, _ = stage("s4_sig_scores",
+                          lambda: score_pair_sigs(sigs), "s2")
 
-    ranked, edges = rank_and_edges(scored, params)
-    ranked, _ = stage("s5_ranked", lambda: ranked, "s4")
+    cand_scores = attach_sig_scores(mentions, sig_scores)
+    ranked, _ = stage(
+        "s5_ranked",
+        lambda: top_k_per_group(
+            cand_scores, ["doc_id", "span_idx"],
+            [F.desc("score"), F.asc("qid")], params.top_k),
+        "s4")
+    counters["candidates_generated"] = ranked.count()
+
     edges = ranked.where(
         (F.col("rank") == 1) & (F.col("score") >= params.score_threshold)
     ).select(
-        F.xxhash64(F.lit("m"), "doc_id", "span_idx").alias("src"),
-        F.xxhash64(F.lit("e"), "qid").alias("dst"),
+        mention_node(F.col("doc_id"), F.col("span_idx")).alias("src"),
+        entity_node(F.col("qid")).alias("dst"),
     )
     counters["edges_kept"] = edges.count()
 
@@ -395,8 +536,8 @@ def run_pipeline(
 
     return {
         "mentions": mentions,
-        "candidates": cands,
-        "scored": scored,
+        "pair_sigs": sigs,
+        "sig_scores": sig_scores,
         "ranked": ranked,
         "clusters": clusters,
         "counters": counters,
