@@ -19,8 +19,9 @@ import sys
 import time
 
 
-N_DOCS = int(os.environ.get("WDEL_SCALING_DOCS", "120000"))
+N_DOCS = int(os.environ.get("WDEL_SCALING_DOCS", "300000"))
 N_ENTITIES = int(os.environ.get("WDEL_SCALING_ENTITIES", "20000"))
+N_REPS = int(os.environ.get("WDEL_SCALING_REPS", "2"))
 
 
 def run_one(cores: int, sf_dir: str) -> None:
@@ -31,12 +32,16 @@ def run_one(cores: int, sf_dir: str) -> None:
     # only executor-thread concurrency differs (the N-vs-4N proxy)
     spark = get_spark(f"wdel_scaling_{cores}", cores=cores,
                       shuffle_partitions=64)
-    # tiny warm-up: JVM + Arrow + python workers up before measuring
-    run_er_synthetic(spark, 200, 200, n_partitions=8).count()
-    t0 = time.perf_counter()
-    n = run_er_synthetic(spark, N_DOCS, N_ENTITIES, n_partitions=64).count()
-    dt = time.perf_counter() - t0
-    print(json.dumps({"cores": cores, "sec": round(dt, 3), "rows": n}))
+    # warm-up: JVM JIT + Arrow + python workers before measuring
+    run_er_synthetic(spark, 2000, 2000, n_partitions=16).count()
+    times, n = [], 0
+    for _ in range(N_REPS):  # min-of-N: robust to host noise/JIT drift
+        t0 = time.perf_counter()
+        n = run_er_synthetic(spark, N_DOCS, N_ENTITIES,
+                             n_partitions=64).count()
+        times.append(round(time.perf_counter() - t0, 3))
+    print(json.dumps({"cores": cores, "sec": min(times), "all": times,
+                      "rows": n}))
     spark.stop()
 
 

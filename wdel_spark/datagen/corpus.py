@@ -379,10 +379,12 @@ GOLD_SCHEMA = "doc_id string, span_idx int, gold_qid string"
 
 
 def gen_corpus_spark(spark, cfg: CorpusConfig, n_partitions: int = 32):
-    """Distributed S0: documents via mapInPandas over a doc-index range
-    (scales to any n_docs — each task generates its own slice; identical
-    rows to the pandas path), KB tables via driver pandas (KB is the small
-    dimension side, broadcast downstream).
+    """Distributed S0: EVERY table via mapInPandas over an index range —
+    documents over doc indices, KB tables over entity indices.  Each task
+    generates its own slice from the pure per-index functions, so output
+    is identical to the pandas path and nothing large ever materializes on
+    the driver (the production shape: 93M entities / 10^12 docs are
+    generated/read where they are processed).
 
     Returns dict of DataFrames: documents, mention_gold, kb_entities,
     kb_aliases, entity_vectors, redirects, wikimedia_filter.
@@ -414,24 +416,73 @@ def gen_corpus_spark(spark, cfg: CorpusConfig, n_partitions: int = 32):
     documents = rng_df.mapInPandas(gen_part, schema=DOCUMENTS_SCHEMA)
     mention_gold = rng_df.mapInPandas(gen_gold_part, schema=GOLD_SCHEMA)
 
-    kb = gen_kb_pandas(cfg)
-    out = {"documents": documents, "mention_gold": mention_gold}
-    ev = kb["entity_vectors"].copy()
-    ev["vec"] = ev["vec"].map(lambda v: [float(x) for x in v])
-    out["entity_vectors"] = spark.createDataFrame(
-        ev, schema="qid string, vec array<float>")
-    out["kb_aliases"] = spark.createDataFrame(
-        kb["kb_aliases"],
-        schema="qid string, alias string, norm_alias string, "
-               "block_key string, lang string, is_label boolean")
-    ke = kb["kb_entities"]
-    out["kb_entities"] = spark.createDataFrame(
-        ke,
-        schema="qid string, label_en string, label_zh string, "
-               "desc_en string, desc_zh string, alt_en array<string>, "
-               "alt_zh array<string>, p31_qid array<array<string>>")
-    out["redirects"] = spark.createDataFrame(
-        kb["redirects"], schema="src_qid string, dst_qid string")
-    out["wikimedia_filter"] = spark.createDataFrame(
-        kb["wikimedia_filter"], schema="qid string")
-    return out
+    ent_parts = max(4, min(n_partitions, cfg.n_entities // 500 or 1))
+    ent_rng = spark.range(0, cfg.n_entities, 1, ent_parts)
+
+    def gen_alias_part(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                e = gen_entity(cfg, int(i))
+                for alias, lang, is_label in _entity_aliases(cfg, e):
+                    norm = normalize_text(alias)
+                    if not norm:
+                        continue
+                    rows.append((e["qid"], alias, norm, block_key(norm),
+                                 lang, is_label))
+            yield pd.DataFrame(rows, columns=[
+                "qid", "alias", "norm_alias", "block_key", "lang",
+                "is_label"])
+
+    def gen_vec_part(batches):
+        for pdf in batches:
+            idxs = [int(i) for i in pdf["id"].tolist()]
+            ents = [gen_entity(cfg, i) for i in idxs]
+            vecs = hash_embed([entity_feature_text(e) for e in ents],
+                              EMBED_DIM)
+            yield pd.DataFrame({
+                "qid": [e["qid"] for e in ents],
+                "vec": [v.tolist() for v in vecs],
+            })
+
+    def gen_entity_part(batches):
+        for pdf in batches:
+            rows = [gen_entity(cfg, int(i)) for i in pdf["id"].tolist()]
+            yield pd.DataFrame(rows, columns=[
+                "qid", "label_en", "label_zh", "desc_en", "desc_zh",
+                "alt_en", "alt_zh", "p31_qid"])
+
+    def gen_redirect_part(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                dst = _redirect_dst(cfg, int(i))
+                if dst is not None:
+                    rows.append((f"Q{int(i) + 1}", f"Q{dst + 1}"))
+            yield pd.DataFrame(rows, columns=["src_qid", "dst_qid"])
+
+    def gen_wm_part(batches):
+        for pdf in batches:
+            rows = [(f"Q{int(i) + 1}",) for i in pdf["id"].tolist()
+                    if _is_wikimedia_internal(cfg, int(i))]
+            yield pd.DataFrame(rows, columns=["qid"])
+
+    return {
+        "documents": documents,
+        "mention_gold": mention_gold,
+        "kb_aliases": ent_rng.mapInPandas(
+            gen_alias_part,
+            schema="qid string, alias string, norm_alias string, "
+                   "block_key string, lang string, is_label boolean"),
+        "entity_vectors": ent_rng.mapInPandas(
+            gen_vec_part, schema="qid string, vec array<float>"),
+        "kb_entities": ent_rng.mapInPandas(
+            gen_entity_part,
+            schema="qid string, label_en string, label_zh string, "
+                   "desc_en string, desc_zh string, alt_en array<string>, "
+                   "alt_zh array<string>, p31_qid array<array<string>>"),
+        "redirects": ent_rng.mapInPandas(
+            gen_redirect_part, schema="src_qid string, dst_qid string"),
+        "wikimedia_filter": ent_rng.mapInPandas(
+            gen_wm_part, schema="qid string"),
+    }

@@ -156,10 +156,13 @@ def er_over_testdata(
     docs = derive_spans_documents(spark, sf_dir).localCheckpoint(eager=True)
     kb_aliases, entity_vectors = derive_vocab_kb(spark, docs)
     kb = kb_aliases.join(
-        entity_vectors.withColumnRenamed("vec", "e_vec"), "qid")
+        entity_vectors.withColumnRenamed("vec", "e_vec"), "qid"
+    ).localCheckpoint(eager=True)
     mentions = extract_mentions(docs, with_vec=False).localCheckpoint(
         eager=True)
-    sig_scores = score_pair_sigs(candidate_signatures(mentions, kb, params))
+    sig_scores = score_pair_sigs(
+        candidate_signatures(mentions, kb, params)
+    ).localCheckpoint(eager=True)
     cand_scores = attach_sig_scores(mentions, sig_scores)
     ranked = top_k_per_group(
         cand_scores, ["doc_id", "span_idx"],
@@ -197,14 +200,18 @@ def run_er_synthetic(
     npart = n_partitions or spark.sparkContext.defaultParallelism * 2
     cfg = CorpusConfig(n_docs=n_docs, n_entities=n_entities)
     t = gen_corpus_spark(spark, cfg, n_partitions=npart)
+    # the KB feeds several broadcasts — each broadcast would otherwise
+    # re-evaluate the generation subplan; materialize it once
     kb = prepare_kb(t["kb_aliases"], t["entity_vectors"], t["redirects"],
-                    t["wikimedia_filter"])
+                    t["wikimedia_filter"]).localCheckpoint(eager=True)
     # S1 is consumed by both the candidate branch and the final cluster
     # join — materialize once (the snapshot layer does this in the
     # checkpointed runner; localCheckpoint is its in-memory analog)
     mentions = extract_mentions(t["documents"], with_vec=False
                                 ).localCheckpoint(eager=True)
-    sig_scores = score_pair_sigs(candidate_signatures(mentions, kb, params))
+    sig_scores = score_pair_sigs(
+        candidate_signatures(mentions, kb, params)
+    ).localCheckpoint(eager=True)
     cand_scores = attach_sig_scores(mentions, sig_scores)
     ranked = top_k_per_group(
         cand_scores, ["doc_id", "span_idx"],

@@ -100,6 +100,26 @@ def _ngrams(s: str, ns: tuple[int, ...] = (2, 3)) -> list[str]:
     return out
 
 
+# gram -> (bucket, sign) memo: the gram vocabulary of any real corpus is
+# tiny relative to the gram *stream* (Zipf), so this makes hash_embed
+# ~amortized-dict-lookup per gram.  Purely an evaluation cache — results
+# are byte-identical with or without it.  Per-dim keying; soft-capped.
+_GRAM_CACHE: dict[tuple[str, int], tuple[int, np.float32]] = {}
+_GRAM_CACHE_MAX = 1 << 20
+
+
+def _gram_feature(g: str, dim: int) -> tuple[int, np.float32]:
+    key = (g, dim)
+    hit = _GRAM_CACHE.get(key)
+    if hit is None:
+        h = zlib.crc32(g.encode("utf-8"))
+        hit = ((h & 0x7FFFFFFF) % dim,
+               np.float32(1.0) if (h >> 31) & 1 == 0 else np.float32(-1.0))
+        if len(_GRAM_CACHE) < _GRAM_CACHE_MAX:
+            _GRAM_CACHE[key] = hit
+    return hit
+
+
 def hash_embed(texts: "list[str] | np.ndarray", dim: int = EMBED_DIM) -> np.ndarray:
     """Deterministic hashed char-n-gram embedding, L2-normalized.
 
@@ -110,14 +130,14 @@ def hash_embed(texts: "list[str] | np.ndarray", dim: int = EMBED_DIM) -> np.ndar
     DataLoader batching (`encode_item.py:226-246`).
     """
     out = np.zeros((len(texts), dim), dtype=np.float32)
+    feat = _gram_feature
     for row, text in enumerate(texts):
         if not text:
             continue
         v = out[row]
         for g in _ngrams(text):
-            h = zlib.crc32(g.encode("utf-8"))
-            sign = 1.0 if (h >> 31) & 1 == 0 else -1.0
-            v[(h & 0x7FFFFFFF) % dim] += sign
+            idx, sign = feat(g, dim)
+            v[idx] += sign
         n = np.linalg.norm(v)
         if n > 0:
             v /= n

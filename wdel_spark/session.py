@@ -13,6 +13,12 @@ import os
 from pyspark.sql import SparkSession
 
 
+_BLAS_VARS = (
+    "OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+    "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS",
+)
+
+
 def get_spark(
     app_name: str = "wdel_spark",
     cores: int | None = None,
@@ -21,6 +27,11 @@ def get_spark(
 ) -> SparkSession:
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
+    # one BLAS thread per python worker: N workers × multi-threaded
+    # OpenBLAS oversubscribes the box N× and *reverses* core scaling —
+    # parallelism comes from Spark tasks, not intra-op math threads
+    for var in _BLAS_VARS:
+        os.environ.setdefault(var, "1")
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -35,6 +46,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for var in _BLAS_VARS:
+        b = b.config(f"spark.executorEnv.{var}", "1")
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
