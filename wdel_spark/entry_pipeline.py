@@ -209,9 +209,8 @@ def run_er_synthetic(
     # checkpointed runner; localCheckpoint is its in-memory analog)
     mentions = extract_mentions(t["documents"], with_vec=False
                                 ).localCheckpoint(eager=True)
-    sig_scores = score_pair_sigs(
-        candidate_signatures(mentions, kb, params)
-    ).localCheckpoint(eager=True)
+    # sig_scores feeds exactly one broadcast -> no checkpoint barrier needed
+    sig_scores = score_pair_sigs(candidate_signatures(mentions, kb, params))
     cand_scores = attach_sig_scores(mentions, sig_scores)
     ranked = top_k_per_group(
         cand_scores, ["doc_id", "span_idx"],
