@@ -391,17 +391,22 @@ def gen_corpus_spark(spark, cfg: CorpusConfig, n_partitions: int = 32):
     """
     from pyspark.sql import functions as F  # local import keeps module light
 
-    def gen_part(batches):
+    def gen_flat_part(batches):
+        # flat scalar columns: Arrow conversion of python nested structs is
+        # ~10x slower than flat columns — nest JVM-side instead
         for pdf in batches:
-            rows = []
+            cols = {"doc_id": [], "span_idx": [], "kind": [], "text": [],
+                    "media_ref": [], "offset": []}
             for d in pdf["id"].tolist():
                 doc, _ = gen_document(cfg, int(d))
-                rows.append({
-                    "doc_id": doc["doc_id"],
-                    "spans": [(s["kind"], s["text"], s["media_ref"],
-                               s["offset"]) for s in doc["spans"]],
-                })
-            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+                for j, s in enumerate(doc["spans"]):
+                    cols["doc_id"].append(doc["doc_id"])
+                    cols["span_idx"].append(j)
+                    cols["kind"].append(s["kind"])
+                    cols["text"].append(s["text"])
+                    cols["media_ref"].append(s["media_ref"])
+                    cols["offset"].append(s["offset"])
+            yield pd.DataFrame(cols)
 
     def gen_gold_part(batches):
         for pdf in batches:
@@ -413,7 +418,19 @@ def gen_corpus_spark(spark, cfg: CorpusConfig, n_partitions: int = 32):
                                               "gold_qid"])
 
     rng_df = spark.range(0, cfg.n_docs, 1, n_partitions)
-    documents = rng_df.mapInPandas(gen_part, schema=DOCUMENTS_SCHEMA)
+    spans_flat = rng_df.mapInPandas(
+        gen_flat_part,
+        schema="doc_id string, span_idx int, kind string, text string, "
+               "media_ref string, offset int")
+    documents = spans_flat.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                "span_idx", "kind", "text", "media_ref", "offset"))),
+            lambda s: F.struct(
+                s["kind"].alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset")),
+        ).alias("spans"))
     mention_gold = rng_df.mapInPandas(gen_gold_part, schema=GOLD_SCHEMA)
 
     ent_parts = max(4, min(n_partitions, cfg.n_entities // 500 or 1))
@@ -469,6 +486,7 @@ def gen_corpus_spark(spark, cfg: CorpusConfig, n_partitions: int = 32):
 
     return {
         "documents": documents,
+        "spans_flat": spans_flat,
         "mention_gold": mention_gold,
         "kb_aliases": ent_rng.mapInPandas(
             gen_alias_part,

@@ -182,6 +182,73 @@ def entry_flagship(spark: SparkSession) -> DataFrame:
     return er_over_testdata(spark, "/root/testdata/sf0.001")
 
 
+def materialize_corpus(
+    spark: SparkSession,
+    n_docs: int,
+    n_entities: int,
+    out_dir: str,
+    n_partitions: int = 64,
+) -> None:
+    """Write the synthetic corpus + KB to parquet once (the stand-in for
+    the production Iceberg table the pipeline would read).  Idempotent:
+    skipped when a matching manifest exists."""
+    import json as _json
+    import os as _os
+
+    from wdel_spark.datagen import CorpusConfig, gen_corpus_spark
+
+    meta_path = _os.path.join(out_dir, "_corpus.json")
+    want = {"n_docs": n_docs, "n_entities": n_entities, "seed": 42}
+    if _os.path.exists(meta_path):
+        try:
+            if _json.load(open(meta_path)) == want:
+                return
+        except Exception:
+            pass
+    cfg = CorpusConfig(n_docs=n_docs, n_entities=n_entities)
+    t = gen_corpus_spark(spark, cfg, n_partitions=n_partitions)
+    for name in ("documents", "kb_aliases", "entity_vectors", "redirects",
+                 "wikimedia_filter"):
+        t[name].write.mode("overwrite").parquet(
+            _os.path.join(out_dir, name))
+    with open(meta_path, "w") as f:
+        _json.dump(want, f)
+
+
+def run_er_from_parquet(
+    spark: SparkSession,
+    corpus_dir: str,
+    params: PipelineParams = PipelineParams(),
+) -> DataFrame:
+    """The measured pipeline: read the stored interleaved corpus + KB
+    (columnar scan, no python) -> extract -> block -> score -> rank -> CC."""
+    import os as _os
+
+    from wdel_spark.plans.pipeline import (
+        prepare_kb, candidate_signatures, score_pair_sigs,
+        attach_sig_scores, mention_node, entity_node)
+    from wdel_spark.operators.topk import top_k_per_group
+
+    rd = lambda n: spark.read.parquet(_os.path.join(corpus_dir, n))
+    kb = prepare_kb(rd("kb_aliases"), rd("entity_vectors"),
+                    rd("redirects"), rd("wikimedia_filter")
+                    ).localCheckpoint(eager=True)
+    mentions = extract_mentions(rd("documents"), with_vec=False
+                                ).localCheckpoint(eager=True)
+    sig_scores = score_pair_sigs(candidate_signatures(mentions, kb, params))
+    cand_scores = attach_sig_scores(mentions, sig_scores)
+    ranked = top_k_per_group(
+        cand_scores, ["doc_id", "span_idx"],
+        [F.desc("score"), F.asc("qid")], params.top_k)
+    edges = ranked.where(
+        (F.col("rank") == 1) & (F.col("score") >= params.score_threshold)
+    ).select(
+        mention_node(F.col("doc_id"), F.col("span_idx")).alias("src"),
+        entity_node(F.col("qid")).alias("dst"),
+    )
+    return cluster_mentions(mentions, edges, params)
+
+
 def run_er_synthetic(
     spark: SparkSession,
     n_docs: int,

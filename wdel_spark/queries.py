@@ -607,7 +607,7 @@ def q_minhash_lsh_neardup(spark, sf_dir):
     shingles, md5-as-permutation — portable to the SQL oracle)."""
     from wdel_spark.operators.dedup import minhash_lsh_pairs
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text")
     return minhash_lsh_pairs(d, "doc_id", "text")
 
@@ -617,7 +617,7 @@ WITH sh AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc,
          unnest(list_transform(range(1, GREATEST(LENGTH(text) - 4, 1) + 1),
                                i -> SUBSTRING(text, i, 5))) AS s
-  FROM documents),
+  FROM documents WHERE doc_id < 1000),
 mh AS (
   SELECT doc, band, MIN(MD5(CAST(band AS VARCHAR) || s)) AS mh
   FROM sh, (SELECT unnest(range(4)) AS band)
@@ -639,7 +639,7 @@ def q_ngram_jaccard_neardup(spark, sf_dir):
     stage of the dedup pipeline)."""
     from wdel_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text")
     pairs = minhash_lsh_pairs(d, "doc_id", "text").select("doc_a", "doc_b")
     return ngram_jaccard(d, pairs, "doc_id", "text", shingle_n=3)
@@ -650,7 +650,7 @@ WITH sh AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc,
          unnest(list_transform(range(1, GREATEST(LENGTH(text) - 4, 1) + 1),
                                i -> SUBSTRING(text, i, 5))) AS s
-  FROM documents),
+  FROM documents WHERE doc_id < 1000),
 mh AS (
   SELECT doc, band, MIN(MD5(CAST(band AS VARCHAR) || s)) AS mh
   FROM sh, (SELECT unnest(range(4)) AS band)
@@ -668,7 +668,7 @@ g AS (
          list_distinct(list_transform(
              range(1, GREATEST(LENGTH(text) - 2, 1) + 1),
              i -> SUBSTRING(text, i, 3))) AS sh3
-  FROM documents)
+  FROM documents WHERE doc_id < 1000)
 SELECT c.doc_a, c.doc_b,
        ROUND(CAST(len(list_intersect(ga.sh3, gb.sh3)) AS DOUBLE)
              / (len(ga.sh3) + len(gb.sh3)
