@@ -32,6 +32,15 @@ def get_spark(
     # parallelism comes from Spark tasks, not intra-op math threads
     for var in _BLAS_VARS:
         os.environ.setdefault(var, "1")
+    # shuffle/spill on tmpfs: the sandbox block device throttles after
+    # sustained IO (burst credits), stalling shuffle writes at ~1 MB/s and
+    # idling every core; RAM-backed local dirs sidestep it.  On a real
+    # cluster this maps to NVMe-backed spark.local.dir.
+    local_dir = os.environ.get("WDEL_SPARK_LOCAL_DIR", "/dev/shm/wdel-spark")
+    try:
+        os.makedirs(local_dir, exist_ok=True)
+    except OSError:
+        local_dir = None
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -48,6 +57,8 @@ def get_spark(
     )
     for var in _BLAS_VARS:
         b = b.config(f"spark.executorEnv.{var}", "1")
+    if local_dir:
+        b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
