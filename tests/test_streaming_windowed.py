@@ -28,6 +28,17 @@ def test_windowed_counts_match_batch(spark, tmp_path):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     src = str(tmp_path / "events_src")
     events.write.parquet(src)
+    # Append mode only emits windows older than max(event time) - watermark.
+    # Push a sentinel event far past the end of input so every real window
+    # finalizes; the sentinel's own window stays pending and is never emitted.
+    sentinel_ts = events.agg(F.max("ts")).first()[0] + pd.Timedelta(hours=10)
+    sentinel = pd.DataFrame([{
+        "event_id": -1, "ts": sentinel_ts, "user_id": -1,
+        "event_type": "__sentinel__", "value": 0.0, "props": "{}",
+    }])[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    spark.createDataFrame(sentinel, schema=events.schema) \
+        .write.mode("append").parquet(src)
+
     stream = spark.readStream.schema(events.schema).parquet(src)
     out = _drain(windowed_event_counts(stream), tmp_path, "winagg")
     got = spark.read.parquet(out).toPandas()
@@ -43,8 +54,6 @@ def test_windowed_counts_match_batch(spark, tmp_path):
     key = ["win_start", "event_type"]
     got_s = got.sort_values(key).reset_index(drop=True)
     want_s = want.sort_values(key).reset_index(drop=True)
-    # availableNow finalizes every window (watermark passes end of input),
-    # so append-mode output equals the batch aggregation
     pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
 
 

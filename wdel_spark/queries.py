@@ -169,7 +169,9 @@ ORACLE_DISTINCT_PARTS = "SELECT DISTINCT l_partkey FROM lineitem"
 def q_first_wins_dedup(spark, sf_dir):
     """A3 first-wins dedup by key, deterministic (explicit order)."""
     li = _t(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    # (l_orderkey, l_linenumber) is NOT unique in the driver testdata —
+    # add l_partkey so the window order is total and both engines agree.
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
     return (
         li.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
@@ -180,7 +182,8 @@ def q_first_wins_dedup(spark, sf_dir):
 ORACLE_FIRST_WINS = """
 SELECT l_orderkey, l_partkey, l_linenumber FROM (
   SELECT l_orderkey, l_partkey, l_linenumber,
-         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) rn
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, l_partkey) rn
   FROM lineitem) WHERE rn = 1
 """
 
@@ -245,10 +248,10 @@ def q_recall_histogram(spark, sf_dir):
 
 ORACLE_RECALL = """
 SELECT event_type,
-       SUM(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END)  AS r_at_1,
-       SUM(CASE WHEN rnk <= 4 THEN 1 ELSE 0 END)  AS r_at_4,
-       SUM(CASE WHEN rnk <= 8 THEN 1 ELSE 0 END)  AS r_at_8,
-       SUM(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS r_at_10,
+       CAST(SUM(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END) AS BIGINT)  AS r_at_1,
+       CAST(SUM(CASE WHEN rnk <= 4 THEN 1 ELSE 0 END) AS BIGINT)  AS r_at_4,
+       CAST(SUM(CASE WHEN rnk <= 8 THEN 1 ELSE 0 END) AS BIGINT)  AS r_at_8,
+       CAST(SUM(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS r_at_10,
        COUNT(*) AS total
 FROM (SELECT event_type,
              ROW_NUMBER() OVER (PARTITION BY user_id
@@ -443,9 +446,10 @@ def q_token_count(spark, sf_dir):
 
 ORACLE_TOKEN_COUNT = """
 SELECT lang,
-       SUM(LENGTH(REGEXP_REPLACE(TRIM(text), ' +', ' ', 'g'))
+       CAST(SUM(LENGTH(REGEXP_REPLACE(TRIM(text), ' +', ' ', 'g'))
            - LENGTH(REPLACE(REGEXP_REPLACE(TRIM(text), ' +', ' ', 'g'), ' ', ''))
-           + CASE WHEN TRIM(text) = '' THEN 0 ELSE 1 END) AS total_tokens,
+           + CASE WHEN TRIM(text) = '' THEN 0 ELSE 1 END) AS BIGINT)
+           AS total_tokens,
        COUNT(*) AS n_docs
 FROM documents GROUP BY lang
 """

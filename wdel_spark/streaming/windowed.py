@@ -25,8 +25,11 @@ def windowed_event_counts(
 
     Watermark bounds state: windows older than max(event time) - watermark
     are finalized and dropped from the state store."""
+    # Testdata parquet stores ts as TIMESTAMP_NTZ; withWatermark requires
+    # TIMESTAMP — cast is a no-op when the column is already TIMESTAMP.
     return (
-        events_stream.withWatermark("ts", watermark)
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_len).alias("win"), "event_type")
         .agg(F.count("*").alias("n"),
              F.round(F.sum("value"), 4).alias("sum_value"))
