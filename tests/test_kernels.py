@@ -70,3 +70,94 @@ def test_pair_score_monotonic_in_similarity():
     far = pair_score("acme corp", "zzz", 0.0)
     assert exact > near > far
     assert exact == pytest.approx(1.0)
+
+
+# ------------------------- batched kernels: bit-exact parity with scalars
+
+def _fuzz_pairs(n=800, seed=11):
+    import random
+    import string
+
+    rng = random.Random(seed)
+    alph = string.ascii_lowercase + "中文字符漢語体育 "
+    out = []
+    for _ in range(n):
+        a = "".join(rng.choices(alph, k=rng.randint(0, 18)))
+        b = "".join(rng.choices(alph, k=rng.randint(0, 18)))
+        if rng.random() < 0.2:
+            b = a
+        if rng.random() < 0.2:
+            b = a[: rng.randint(0, len(a))] + b
+        out.append((a, b))
+    out += [("", ""), ("", "abc"), ("abc", ""), ("MARTHA", "MARHTA"),
+            ("DIXON", "DICKSONX")]
+    return out
+
+
+def test_jaro_winkler_batch_bitexact_vs_scalar():
+    from wdel_spark.functions import jaro_winkler_batch
+
+    pairs = _fuzz_pairs()
+    batch = jaro_winkler_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    scalar = np.array([jaro_winkler(a, b) for a, b in pairs])
+    np.testing.assert_array_equal(batch, scalar)
+
+
+def test_pair_score_batch_bitexact_vs_scalar():
+    from wdel_spark.functions import pair_score_batch
+
+    pairs = _fuzz_pairs(seed=12)
+    rng = np.random.RandomState(0)
+    cos = rng.uniform(-1, 1, len(pairs))
+    lev = np.array([levenshtein(a, b) for a, b in pairs])
+    scalar = np.array(
+        [pair_score(a, b, c, int(l))
+         for (a, b), c, l in zip(pairs, cos, lev)])
+    a_list = [p[0] for p in pairs]
+    b_list = [p[1] for p in pairs]
+    np.testing.assert_array_equal(
+        pair_score_batch(a_list, b_list, cos, lev), scalar)
+    # lev=None fallback (oracle path) must agree too
+    np.testing.assert_array_equal(
+        pair_score_batch(a_list, b_list, cos), scalar)
+
+
+def test_simhash_kernel_vectorized_matches_scalar_reference():
+    """Pin the vectorized kernel to a literal scalar transcription of the
+    simhash definition (bit b of md5[:8] big-endian, ±1 sum, sign bit 63
+    kept zero)."""
+    import hashlib
+    from wdel_spark.operators.dedup import simhash_kernel, SIMHASH_BITS
+
+    def scalar(texts, n=4):
+        out = []
+        for t in texts:
+            acc = [0] * SIMHASH_BITS
+            for i in range(max(len(t) - n + 1, 1)):
+                h = int.from_bytes(
+                    hashlib.md5(t[i:i + n].encode("utf-8")).digest()[:8],
+                    "big")
+                for b in range(SIMHASH_BITS):
+                    acc[b] += 1 if (h >> b) & 1 else -1
+            bits = 0
+            for b in range(SIMHASH_BITS - 1):
+                if acc[b] > 0:
+                    bits |= 1 << b
+            out.append(bits)
+        return np.array(out, dtype=np.int64)
+
+    texts = ["", "a", "abcd", "the quick brown fox", "中文字符漢語" * 3,
+             "same same same same", "x" * 100]
+    np.testing.assert_array_equal(simhash_kernel(texts), scalar(texts))
+
+
+def test_spark_levenshtein_matches_python(spark):
+    """The pipeline now precomputes Levenshtein with the Catalyst builtin;
+    it must agree with the Python kernel the oracle uses (incl. unicode)."""
+    from pyspark.sql import functions as F
+
+    pairs = _fuzz_pairs(n=300, seed=13)
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = df.select("a", "b", F.levenshtein("a", "b").alias("lev")).collect()
+    for r in got:
+        assert r["lev"] == levenshtein(r["a"], r["b"]), (r["a"], r["b"])

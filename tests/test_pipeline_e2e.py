@@ -121,3 +121,40 @@ def test_join_strategies_agree(spark, corpus_spark, spark_result):
         assert _partition_pairs_equal(got, "cluster_id", base, "cluster_id"), (
             strategy
         )
+
+
+def test_attach_sig_scores_strategies_agree(spark, corpus_spark):
+    """The signature fan-out join must be identical under every strategy,
+    including with Catalyst broadcasting disabled (the 100 TB regime where
+    the signature table cannot broadcast)."""
+    from pyspark.sql import functions as F
+    from wdel_spark.plans.pipeline import (
+        attach_sig_scores, candidate_signatures, extract_mentions,
+        prepare_kb, score_pair_sigs)
+
+    kb = prepare_kb(
+        corpus_spark["kb_aliases"], corpus_spark["entity_vectors"],
+        corpus_spark["redirects"], corpus_spark["wikimedia_filter"])
+    mentions = extract_mentions(
+        corpus_spark["documents"], with_vec=False).localCheckpoint()
+    sig_scores = score_pair_sigs(
+        candidate_signatures(mentions, kb)).localCheckpoint()
+
+    def run(strategy, **kw):
+        df = attach_sig_scores(mentions, sig_scores, strategy=strategy, **kw)
+        return (df.sort("doc_id", "span_idx", "qid")
+                .toPandas().reset_index(drop=True))
+
+    base = run("broadcast")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        shuffled = run("shuffle")
+        salted = run("salted", hot_threshold=50, salt_mod=4)
+        # auto with a huge row estimate must route to salted, not broadcast
+        auto_big = run("auto", sig_rows=10**12, hot_threshold=50, salt_mod=4)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    pd.testing.assert_frame_equal(base, shuffled)
+    pd.testing.assert_frame_equal(base, salted)
+    pd.testing.assert_frame_equal(base, auto_big)

@@ -1,10 +1,12 @@
 from wdel_spark.functions.textnorm import normalize_text, block_key, TRAD2SIMP
 from wdel_spark.functions.scoring import (
     jaro_winkler,
+    jaro_winkler_batch,
     levenshtein,
     hash_embed,
     cosine_pairs,
     pair_score,
+    pair_score_batch,
 )
 
 __all__ = [
@@ -12,8 +14,10 @@ __all__ = [
     "block_key",
     "TRAD2SIMP",
     "jaro_winkler",
+    "jaro_winkler_batch",
     "levenshtein",
     "hash_embed",
     "cosine_pairs",
     "pair_score",
+    "pair_score_batch",
 ]

@@ -35,7 +35,7 @@ from wdel_spark.functions.textnorm import normalize_text, block_key
 from wdel_spark.functions.scoring import (
     hash_embed,
     cosine_pairs,
-    pair_score,
+    pair_score_batch,
     EMBED_DIM,
 )
 from wdel_spark.operators.topk import top_k_per_group
@@ -210,9 +210,10 @@ def score_pairs(candidates: DataFrame) -> DataFrame:
     construction.  Behavioral stand-in for the reference's bi-encoder dot
     product (`model.py:105-107`) + Qwen yes/no judge
     (`entity_disambiguation/prediction.py:84-164`).
-    Perf note: JW/Lev are per-pair Python inside the Arrow batch; strings
-    are short (aliases).  The JVM fallback (`F.levenshtein`) is wired in
-    the expression-only variant below if profiling demands it.
+    Perf: Levenshtein runs JVM-side (Catalyst ``levenshtein()`` builtin,
+    whole-stage codegen) BEFORE the Arrow batch crosses into Python;
+    Jaro-Winkler + the combine are batched numpy (``pair_score_batch``) —
+    no per-row Python anywhere in the hot path.
     """
 
     def scorer(batches):
@@ -224,11 +225,9 @@ def score_pairs(candidates: DataFrame) -> DataFrame:
             ev = np.array([np.asarray(v, dtype=np.float32)
                            for v in pdf["e_vec"]])
             cos = cosine_pairs(mv, ev)
-            scores = [
-                pair_score(m, a, c)
-                for m, a, c in zip(pdf["norm_mention"], pdf["norm_alias"],
-                                   cos)
-            ]
+            scores = pair_score_batch(
+                pdf["norm_mention"], pdf["norm_alias"], cos,
+                lev=pdf["lev"].to_numpy())
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "span_idx": pdf["span_idx"],
@@ -241,6 +240,7 @@ def score_pairs(candidates: DataFrame) -> DataFrame:
     slim = candidates.select(
         "doc_id", "span_idx", "qid", "norm_mention", "norm_alias",
         "m_vec", "e_vec",
+        F.levenshtein("norm_mention", "norm_alias").alias("lev"),
     )
     return slim.mapInPandas(scorer, schema=_SCORE_SCHEMA)
 
@@ -276,10 +276,21 @@ def candidate_signatures(
     # slim alias table, dedupe 3 string columns, re-attach e_vec last
     k = kb.where(F.col("block_key") != "")
     k_slim = k.select("block_key", "norm_alias", "qid")
-    joined = sigs.join(F.broadcast(k_slim), "block_key") if (
-        params.join_strategy == "broadcast"
-    ) else sigs.repartition("block_key").join(
-        k_slim.hint("merge"), "block_key")
+    if params.join_strategy == "broadcast":
+        joined = sigs.join(F.broadcast(k_slim), "block_key")
+    elif params.join_strategy == "salted":
+        # explicit hot-key salting (operators/skew.py) — the signature
+        # probe side is already distinct per (norm_mention, block_key), so
+        # salt by the mention text
+        joined = salted_join(
+            sigs, k_slim, "block_key",
+            salt_mod=params.salt_mod,
+            hot_threshold=params.hot_threshold,
+            probe_salt_cols=["norm_mention"],
+        )
+    else:  # sort-merge: spread both sides, let AQE split residual skew
+        joined = sigs.repartition("block_key").join(
+            k_slim.hint("merge"), "block_key")
     slim = joined.select("norm_mention", "norm_alias", "qid").dropDuplicates(
         ["norm_mention", "norm_alias", "qid"])
     evec = kb.select("qid", "e_vec").dropDuplicates(["qid"])
@@ -307,17 +318,20 @@ def score_pair_sigs(pair_sigs: DataFrame) -> DataFrame:
             ev = np.array([np.asarray(v, dtype=np.float32)
                            for v in pdf["e_vec"]])
             cos = cosine_pairs(mv, ev)
-            scores = [
-                pair_score(m, a, c)
-                for m, a, c in zip(norms, pdf["norm_alias"], cos)
-            ]
+            scores = pair_score_batch(
+                norms, pdf["norm_alias"], cos, lev=pdf["lev"].to_numpy())
             yield pd.DataFrame({
                 "norm_mention": norms,
                 "qid": pdf["qid"],
                 "score": scores,
             })
 
-    scored = pair_sigs.mapInPandas(scorer, schema=_SIG_SCORE_SCHEMA)
+    # Levenshtein via the Catalyst builtin (JVM, codegen) — the Arrow
+    # batch carries the precomputed distance; Python only does batched
+    # numpy (JW + combine).
+    with_lev = pair_sigs.withColumn(
+        "lev", F.levenshtein("norm_mention", "norm_alias"))
+    scored = with_lev.mapInPandas(scorer, schema=_SIG_SCORE_SCHEMA)
     return scored.groupBy("norm_mention", "qid").agg(
         F.max("score").alias("score"))
 
@@ -325,17 +339,54 @@ def score_pair_sigs(pair_sigs: DataFrame) -> DataFrame:
 def attach_sig_scores(
     mentions: DataFrame,
     sig_scores: DataFrame,
-    broadcast_scores: bool = True,
+    strategy: str = "auto",
+    sig_rows: int | None = None,
+    broadcast_max_rows: int = 10_000_000,
+    salt_mod: int = 16,
+    hot_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Fan signature scores back out to mention occurrences.
 
-    Broadcast when the signature table fits (distinct-norm cardinality ~
-    alias-table-sized); else a shuffle join on norm_mention — occurrences
-    of one hot mention text land in one partition, so the salted-join
-    machinery (operators/skew.py) applies here at full scale."""
-    s = F.broadcast(sig_scores) if broadcast_scores else sig_scores
-    return mentions.join(s, "norm_mention").select(
-        "doc_id", "span_idx", "qid", "score")
+    At 100 TB the distinct-signature table can reach billions of rows —
+    unconditionally broadcasting it (the round-1 default) is impossible.
+    Strategies:
+
+      broadcast — force a broadcast hash join (signature table known
+                  small: ~alias-vocabulary-sized);
+      salted    — shuffle join on norm_mention with explicit hot-key
+                  salting (operators/skew.py): occurrences of one hot
+                  mention text otherwise all land in one partition;
+      shuffle   — plain shuffle join; AQE converts to broadcast or splits
+                  skew at runtime;
+      auto      — broadcast when ``sig_rows`` (pass the signature count
+                  the runner already computes for its lineage counters)
+                  is known and ≤ ``broadcast_max_rows``; salted when it's
+                  known and larger; unhinted (AQE decides) when unknown.
+
+    All strategies are semantics-preserving (tested identical)."""
+    if strategy == "auto":
+        if sig_rows is None:
+            strategy = "shuffle"
+        elif sig_rows <= broadcast_max_rows:
+            strategy = "broadcast"
+        else:
+            strategy = "salted"
+    if strategy == "broadcast":
+        joined = mentions.join(F.broadcast(sig_scores), "norm_mention")
+    elif strategy == "salted":
+        joined = salted_join(
+            mentions, sig_scores, "norm_mention",
+            salt_mod=salt_mod,
+            hot_threshold=hot_threshold,
+            probe_salt_cols=["doc_id", "span_idx"],
+        )
+    elif strategy == "shuffle":
+        joined = mentions.join(sig_scores, "norm_mention")
+    else:
+        raise ValueError(
+            f"unknown attach strategy {strategy!r}; "
+            "expected auto|broadcast|salted|shuffle")
+    return joined.select("doc_id", "span_idx", "qid", "score")
 
 
 # ------------------------------------------------------- node id scheme
@@ -505,7 +556,8 @@ def run_pipeline(
     sig_scores, _ = stage("s4_sig_scores",
                           lambda: score_pair_sigs(sigs), "s2")
 
-    cand_scores = attach_sig_scores(mentions, sig_scores)
+    cand_scores = attach_sig_scores(
+        mentions, sig_scores, sig_rows=counters["pairs_scored"])
     ranked, _ = stage(
         "s5_ranked",
         lambda: top_k_per_group(
