@@ -3,16 +3,29 @@
 
 No multi-node cluster exists in the sandbox, so the N-vs-4N-executors
 criterion is evidenced as the SAME job on the SAME stored input at
-local[8] vs local[32] (4x cores):
+local[8] vs local[32] (4x cores).
+
+Methodology (pinned — VERDICT round 1 asked for a committed artifact whose
+raw runs support the derived number):
 
   1. the synthetic interleaved corpus + KB is materialized to parquet ONCE
      (the stand-in for the production Iceberg table — generation is not
      part of the measured pipeline, reading the table is);
-  2. each level runs in its own subprocess (fresh JVM, warmed with a small
-     same-shape job before measuring);
-  3. the measured phase is the full ER pipeline: columnar scan -> mention
-     extraction -> blocking -> signature scoring -> top-k -> iterative CC;
-  4. min over N_REPS runs per level absorbs host noise.
+  2. each measured run is its own subprocess (fresh JVM), JIT-warmed with
+     a small same-shape job before the timer starts;
+  3. run order is INTERLEAVED (8, 32, 8, 32, ...) so slow host phases hit
+     both levels equally;
+  4. the sandbox host exhibits multi-second stop-the-world stalls under
+     observation (35 s stalls measured on a 0.3 s workload), so:
+       - wall-clock efficiency uses the MIN over reps per level (a stall
+         only ever adds time);
+       - every run also records executor task time + CPU time for the
+         measured stages from the Spark REST status API — CPU time is
+         stall-immune corroboration: equal total CPU across levels shows
+         the same work was done, and per-level utilization shows whether
+         the extra cores were actually used;
+  5. shuffle/spill on tmpfs (session.py) — the sandbox block device
+     throttles sustained IO; on a real cluster this is NVMe local dirs.
 
 Efficiency = (T_8 / T_32) / 4.
 
@@ -27,13 +40,23 @@ import os
 import subprocess
 import sys
 import time
+import urllib.request
 
 N_DOCS = int(os.environ.get("WDEL_SCALING_DOCS", "1000000"))
 N_ENTITIES = int(os.environ.get("WDEL_SCALING_ENTITIES", "20000"))
-N_REPS = int(os.environ.get("WDEL_SCALING_REPS", "2"))
+N_REPS = int(os.environ.get("WDEL_SCALING_REPS", "3"))
+LEVELS = (8, 32)
 CORPUS_DIR = os.environ.get(
     "WDEL_SCALING_CORPUS",
     f"/tmp/wdel_scaling_corpus_{N_DOCS}_{N_ENTITIES}")
+
+
+def _completed_stages(spark) -> list[dict]:
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.load(r)
 
 
 def run_one(cores: int) -> None:
@@ -44,17 +67,36 @@ def run_one(cores: int) -> None:
     # identical task granularity at both levels: partition count fixed,
     # only executor-thread concurrency differs (the N-vs-4N proxy)
     spark = get_spark(f"wdel_scaling_{cores}", cores=cores,
-                      shuffle_partitions=128)
+                      shuffle_partitions=128,
+                      extra_conf={"spark.ui.enabled": "true"})
     materialize_corpus(spark, N_DOCS, N_ENTITIES, CORPUS_DIR)  # idempotent
     # warm-up: JVM JIT + Arrow + python workers on a small same-shape job
     warm_dir = CORPUS_DIR + "_warm"
     materialize_corpus(spark, 2000, 2000, warm_dir, n_partitions=16)
     run_er_from_parquet(spark, warm_dir).count()
+
+    try:
+        warm_ids = {s["stageId"] for s in _completed_stages(spark)}
+    except Exception:
+        warm_ids = set()
     t0 = time.perf_counter()
     n = run_er_from_parquet(spark, CORPUS_DIR).count()
-    print(json.dumps({"cores": cores,
-                      "sec": round(time.perf_counter() - t0, 3),
-                      "rows": n}))
+    wall = time.perf_counter() - t0
+    rec = {"cores": cores, "sec": round(wall, 3), "rows": n}
+    try:
+        stages = [s for s in _completed_stages(spark)
+                  if s["stageId"] not in warm_ids]
+        task_s = sum(s.get("executorRunTime", 0) for s in stages) / 1e3
+        cpu_s = sum(s.get("executorCpuTime", 0) for s in stages) / 1e9
+        rec.update({
+            "task_time_s": round(task_s, 1),
+            "cpu_time_s": round(cpu_s, 1),
+            "cpu_util": round(cpu_s / (wall * cores), 3),
+            "n_stages": len(stages),
+        })
+    except Exception as e:  # metrics are corroboration, not the gate
+        rec["metrics_err"] = str(e)
+    print("WDEL_RESULT " + json.dumps(rec))
     spark.stop()
 
 
@@ -62,31 +104,45 @@ def main() -> None:
     if "--cores" in sys.argv:
         run_one(int(sys.argv[sys.argv.index("--cores") + 1]))
         return
-    results: dict[int, list] = {8: [], 32: []}
+    results: dict[int, list] = {c: [] for c in LEVELS}
     for _rep in range(N_REPS):
-        for cores in (8, 32):
+        for cores in LEVELS:              # interleaved, never back-to-back
             out = subprocess.run(
                 [sys.executable, __file__, "--cores", str(cores)],
                 capture_output=True, text=True, check=True,
                 env=dict(os.environ),
             )
             line = [l for l in out.stdout.splitlines()
-                    if l.startswith("{")][-1]
-            results[cores].append(json.loads(line))
-    t8 = min(r["sec"] for r in results[8])
-    t32 = min(r["sec"] for r in results[32])
-    eff = (t8 / t32) / 4.0
+                    if l.startswith("WDEL_RESULT ")][-1]
+            rec = json.loads(line[len("WDEL_RESULT "):])
+            results[cores].append(rec)
+            print(json.dumps(rec))
+    lo, hi = LEVELS
+    t_lo = min(r["sec"] for r in results[lo])
+    t_hi = min(r["sec"] for r in results[hi])
+    factor = hi / lo
+    eff = (t_lo / t_hi) / factor
+
+    def cpu_min(c):
+        vals = [r["cpu_time_s"] for r in results[c] if "cpu_time_s" in r]
+        return min(vals) if vals else None
+
     summary = {
         "job": f"ER pipeline over stored corpus n_docs={N_DOCS} "
                f"n_entities={N_ENTITIES} (datagen excluded)",
-        "t_local8_sec": t8,
-        "t_local32_sec": t32,
-        "all_runs": {k: [r["sec"] for r in v] for k, v in results.items()},
-        "speedup_8_to_32": round(t8 / t32, 3),
+        "method": "interleaved order, fresh JVM per run, JIT warm-up, "
+                  "min over reps (host exhibits multi-second stalls that "
+                  "only add time); CPU/task time from Spark REST per "
+                  "measured stages, stall-immune corroboration",
+        "t_local8_sec": t_lo,
+        "t_local32_sec": t_hi,
+        "all_runs": {str(c): results[c] for c in LEVELS},
+        "speedup_8_to_32": round(t_lo / t_hi, 3),
         "scaling_efficiency": round(eff, 3),
         "target": 0.8,
-        "mentions": results[32][0]["rows"],
-        "docs_per_sec_local32": round(N_DOCS / t32, 1),
+        "cpu_time_min_s": {str(c): cpu_min(c) for c in LEVELS},
+        "mentions": results[hi][0]["rows"],
+        "docs_per_sec_local32": round(N_DOCS / t_hi, 1),
     }
     print(json.dumps(summary))
     with open("BENCH_SCALING.json", "w") as f:

@@ -39,13 +39,19 @@ def test_pipeline_resumes_from_snapshots(spark, corpus_spark, tmp_path):
 
 
 def test_snapshot_invalidated_by_param_change(spark, corpus_spark, tmp_path):
+    from wdel_spark.sources.snapshot import read_manifest
+
     wd = str(tmp_path / "run2")
     run_pipeline(spark, corpus_spark, workdir=wd)
-    p1 = PipelineParams()
     path = os.path.join(wd, "s2_pair_sigs")
-    assert snapshot_is_valid(path, "s2_pair_sigs", f"s1:{p1.digest()}")
-    p2 = PipelineParams(top_k=5)
-    assert not snapshot_is_valid(path, "s2_pair_sigs", f"s1:{p2.digest()}")
+    m1 = read_manifest(path)
+    # same params -> same input_hash -> snapshot still valid
+    assert snapshot_is_valid(path, "s2_pair_sigs", m1["input_hash"])
+    # different params -> rerun writes a DIFFERENT hash (stage recomputed)
+    run_pipeline(spark, corpus_spark, workdir=wd,
+                 params=PipelineParams(top_k=5))
+    m2 = read_manifest(path)
+    assert m2["input_hash"] != m1["input_hash"]
 
 
 def test_span_sequence_invariant_roundtrip(spark, corpus_spark, tmp_path):
@@ -61,3 +67,27 @@ def test_span_sequence_invariant_roundtrip(spark, corpus_spark, tmp_path):
     back = read_snapshot(spark, path)
     assert verify_span_invariant(docs, back) == 0
     assert back.count() == docs.count()
+
+
+def test_snapshot_invalidated_by_input_change(spark, corpus_spark, tmp_path):
+    """Same workdir + different input table must NOT reuse stale snapshots
+    (ADVICE r1: input_hash was a constant label)."""
+    import pyspark.sql.functions as F
+
+    wd = str(tmp_path / "wd_inputchange")
+    res1 = run_pipeline(spark, corpus_spark, workdir=wd)
+    n1 = res1["counters"]["mentions_extracted"]
+
+    # drop half the documents -> a DIFFERENT input behind the same name.
+    # write/read parquet so the identity is file-backed like production
+    half_path = str(tmp_path / "docs_half")
+    corpus_spark["documents"].where(
+        F.crc32(F.col("doc_id").cast("string")) % 2 == 0
+    ).write.parquet(half_path)
+    tables2 = dict(corpus_spark)
+    tables2["documents"] = spark.read.parquet(half_path)
+
+    res2 = run_pipeline(spark, tables2, workdir=wd)
+    n2 = res2["counters"]["mentions_extracted"]
+    assert n2 < n1, (n1, n2)  # stale reuse would return n1 unchanged
+    assert res2["counters"]["span_invariant_violations"] == 0

@@ -133,9 +133,14 @@ def gen_entity(cfg: CorpusConfig, i: int) -> dict:
     elif i % 97 == 13 and i >= 7:
         # ambiguous alias shared with another entity -> same-block negatives
         alts_en = alts_en + [gen_entity_label_en(cfg, i - 7)]
-    # shallow P31/P279 paths (arrays-of-arrays; FIXTURES.md §2, capped)
+    # shallow P31/P279 paths (arrays-of-arrays; FIXTURES.md §2, capped);
+    # per-hop en/zh class labels so the instance-of sections of the
+    # byte-exact serializer (functions/entity_text.py) are exercised
     p31 = [[f"Q{r.randint(1, 50)}" for _ in range(r.randint(1, 3))]
            for _ in range(r.randint(0, 3))]
+    p31_en = [[f"class{q[1:]}" for q in path] for path in p31]
+    p31_zh = ([["类" + q[1:] for q in path] for path in p31]
+              if has_zh else [[] for _ in p31])
     return {
         "qid": qid,
         "label_en": label_en,
@@ -145,6 +150,8 @@ def gen_entity(cfg: CorpusConfig, i: int) -> dict:
         "alt_en": alts_en,
         "alt_zh": alts_zh,
         "p31_qid": p31,
+        "p31_en": p31_en,
+        "p31_zh": p31_zh,
     }
 
 
@@ -157,24 +164,25 @@ def gen_entity_label_en(cfg: CorpusConfig, i: int) -> str:
 
 
 def entity_feature_text(e: dict) -> str:
-    """Serialized entity text — the scoring input.  Mirrors the reference's
-    zh-first text modeling (`tokenization.py:110-184`): name; 名称; desc;
-    aliases, lowercased, qid fallback when empty."""
-    parts = []
-    if e.get("label_zh"):
-        parts.append(f"名称：{e['label_zh']}")
-    if e.get("label_en"):
-        parts.append(f"name: {e['label_en']}")
-    if e.get("desc_zh"):
-        parts.append(f"描述：{e['desc_zh']}")
-    if e.get("desc_en"):
-        parts.append(f"description: {e['desc_en']}")
-    alts = list(e.get("alt_zh") or []) + list(e.get("alt_en") or [])
-    if alts:
-        parts.append("别名：" + "/".join(alts))
-    if not parts:
-        return e["qid"].lower()
-    return "；".join(parts).lower()
+    """Serialized entity text — the scoring input.  Byte-exact zh-first
+    text modeling (`tokenization.py:110-184` via functions/entity_text);
+    feature = "title␟desc" exactly as the reference encoder consumes
+    title + [ENT_TITLE_TAG] + desc (`tokenization.py:253-259`), with a
+    single unit-separator char standing in for the special token."""
+    from wdel_spark.functions.entity_text import entity_text_zh_first
+
+    info = {
+        "qid": e["qid"],
+        "label": {"en": e.get("label_en"), "zh": e.get("label_zh")},
+        "desc": {"en": e.get("desc_en"), "zh": e.get("desc_zh")},
+        "alt": {"en": e.get("alt_en") or [], "zh": e.get("alt_zh") or []},
+        "P31": {"qid": e.get("p31_qid") or [],
+                "en": e.get("p31_en") or [],
+                "zh": e.get("p31_zh") or []},
+        "P279": {"qid": [], "en": [], "zh": []},
+    }
+    _, title, desc = entity_text_zh_first(info)
+    return f"{title}\x1f{desc}"
 
 
 def _entity_aliases(cfg: CorpusConfig, e: dict) -> list[tuple[str, str, bool]]:

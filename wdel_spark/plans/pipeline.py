@@ -507,6 +507,27 @@ def verify_span_invariant(
 
 # ------------------------------------------------------------------ runner
 
+def _df_identity(df: DataFrame) -> str:
+    """Cheap (action-free) identity of a DataFrame's INPUT DATA.
+
+    File-backed plans: sorted source file list + schema — parquet part
+    files are content-addressed-ish (UUID names), so rewriting the input
+    changes the identity.  In-memory plans: the analyzed logical plan
+    string.  Feeds snapshot input_hash so resume skips a stage only when
+    its actual inputs are unchanged (ADVICE r1: constant labels silently
+    reused stale snapshots across different inputs)."""
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        files = []
+    if files:
+        key = json.dumps([files, df.schema.simpleString()])
+    else:
+        key = (df._jdf.queryExecution().analyzed().toString()
+               + df.schema.simpleString())
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
 def run_pipeline(
     spark: SparkSession,
     tables: dict[str, DataFrame],
@@ -524,19 +545,35 @@ def run_pipeline(
     """
     params_hash = params.digest()
     counters: dict[str, int] = {}
+    # stage hashes CHAIN: each stage's input_hash folds in the hashes of
+    # the stages/tables it actually consumes, so changing any upstream
+    # input invalidates every downstream snapshot
+    stage_hash: dict[str, str] = {}
 
-    def stage(name: str, make, input_hash: str):
+    def stage(name: str, make, input_ids: list[str]):
+        full_hash = hashlib.sha256(
+            ":".join([name, *input_ids, params_hash]).encode()
+        ).hexdigest()[:16]
+        stage_hash[name] = full_hash
         if workdir is None:
             # no snapshot dir: still cut lineage so multi-consumer stages
             # (mentions feeds S2 and S6) execute once
             return make().localCheckpoint(eager=True), None
         path = os.path.join(workdir, name)
-        full_hash = f"{input_hash}:{params_hash}"
         if resume and snapshot_is_valid(path, name, full_hash):
             return read_snapshot(spark, path), path
         df = make()
         write_snapshot(df, path, name, full_hash)
         return read_snapshot(spark, path), path
+
+    docs_id = _df_identity(tables["documents"])
+    kb_id = ":".join(
+        _df_identity(tables[t]) for t in ("kb_aliases", "entity_vectors")
+        if t in tables
+    ) + ":".join(
+        _df_identity(tables[t]) for t in ("redirects", "wikimedia_filter")
+        if tables.get(t) is not None
+    )
 
     kb = prepare_kb(
         tables["kb_aliases"], tables["entity_vectors"],
@@ -546,15 +583,18 @@ def run_pipeline(
     mentions, _ = stage(
         "s1_mentions",
         lambda: extract_mentions(tables["documents"], with_vec=False),
-        "docs")
+        [docs_id])
     counters["mentions_extracted"] = mentions.count()
 
-    sigs, _ = stage("s2_pair_sigs",
-                    lambda: candidate_signatures(mentions, kb, params), "s1")
+    sigs, _ = stage(
+        "s2_pair_sigs",
+        lambda: candidate_signatures(mentions, kb, params),
+        [stage_hash["s1_mentions"], kb_id])
     counters["pairs_scored"] = sigs.count()   # distinct signatures scored
 
-    sig_scores, _ = stage("s4_sig_scores",
-                          lambda: score_pair_sigs(sigs), "s2")
+    sig_scores, _ = stage(
+        "s4_sig_scores", lambda: score_pair_sigs(sigs),
+        [stage_hash["s2_pair_sigs"]])
 
     cand_scores = attach_sig_scores(
         mentions, sig_scores, sig_rows=counters["pairs_scored"])
@@ -563,7 +603,7 @@ def run_pipeline(
         lambda: top_k_per_group(
             cand_scores, ["doc_id", "span_idx"],
             [F.desc("score"), F.asc("qid")], params.top_k),
-        "s4")
+        [stage_hash["s4_sig_scores"], stage_hash["s1_mentions"]])
     counters["candidates_generated"] = ranked.count()
 
     edges = ranked.where(
@@ -576,10 +616,30 @@ def run_pipeline(
 
     clusters, _ = stage(
         "s6_clusters",
-        lambda: cluster_mentions(mentions, edges, params), "s5")
+        lambda: cluster_mentions(mentions, edges, params),
+        [stage_hash["s5_ranked"], stage_hash["s1_mentions"]])
     counters["n_clusters"] = clusters.select("cluster_id").distinct().count()
 
-    bad = verify_span_invariant(tables["documents"], tables["documents"])
+    # span invariant, against something that can actually violate it
+    # (ADVICE r1: comparing the input to itself was vacuous):
+    #  - with a workdir: documents round-tripped through the snapshot
+    #    write/read path must preserve every span sequence;
+    #  - without: every cluster row must reference a real mention span of
+    #    the input (doc_id, span_idx) — no orphaned/duplicated outputs.
+    if workdir is not None:
+        docs_rt, _ = stage(
+            "s0_documents", lambda: tables["documents"], [docs_id])
+        bad = verify_span_invariant(tables["documents"], docs_rt)
+    else:
+        valid_spans = (
+            tables["documents"]
+            .select("doc_id",
+                    F.posexplode("spans").alias("span_idx", "span"))
+            .where(F.col("span.kind") == "mention")
+            .select("doc_id", "span_idx")
+        )
+        bad = clusters.join(
+            valid_spans, ["doc_id", "span_idx"], "left_anti").count()
     counters["span_invariant_violations"] = bad
 
     if workdir is not None:

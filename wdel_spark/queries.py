@@ -736,6 +736,116 @@ FROM part GROUP BY p_brand
 """
 
 
+def q_entity_hydrate_nested(spark, sf_dir):
+    """J1+A1+A6+F9: the true KB hydrate — relational Entity/P31/P279
+    analogs (nation/supplier/customer) -> JSON-encoded MySQL-shaped cells
+    -> ``hydrate_entities`` -> nested ENTITY_SCHEMA structs -> canonical
+    flat serialization for cross-engine hashing.
+
+    Mirrors `/root/reference/src/pipeline.py:160-251` (3-way left join +
+    per-qid re-nest, first-wins scalars, JSON cell decode) with the
+    ≤11-path cap of `merge_info.py:110` (appends at len==10).  Entities =
+    nations; P31 paths = [supplier, region] per supplier; P279 paths =
+    [customer, mktsegment] per customer; path order = source key."""
+    from wdel_spark.plans.hydrate import hydrate_entities
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+
+    empty = F.to_json(F.array().cast("array<string>"))
+    entity = nation.join(
+        region, nation["n_regionkey"] == region["r_regionkey"]
+    ).select(
+        F.concat(F.lit("Q"), "n_nationkey").alias("qid"),
+        F.col("n_name").alias("label_en"),
+        F.lit(None).cast("string").alias("label_zh"),
+        F.col("r_name").alias("desc_en"),
+        F.lit(None).cast("string").alias("desc_zh"),
+        F.to_json(F.array(F.lower("n_name"))).alias("alt_en"),
+        F.lit(None).cast("string").alias("alt_zh"),
+    )
+    p31 = (
+        supplier.join(nation, supplier["s_nationkey"] == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .select(
+            F.concat(F.lit("Q"), "s_nationkey").alias("qid"),
+            F.col("s_suppkey").alias("ord"),
+            F.to_json(F.array(F.concat(F.lit("S"), "s_suppkey"),
+                              F.concat(F.lit("R"), "r_regionkey"))
+                      ).alias("p31_qid"),
+            F.to_json(F.array("s_name", "r_name")).alias("p31_en"),
+            empty.alias("p31_zh"),
+        )
+    )
+    p279 = customer.select(
+        F.concat(F.lit("Q"), "c_nationkey").alias("qid"),
+        F.col("c_custkey").alias("ord"),
+        F.to_json(F.array(F.concat(F.lit("C"), "c_custkey"),
+                          "c_mktsegment")).alias("p279_qid"),
+        F.to_json(F.array("c_name")).alias("p279_en"),
+        empty.alias("p279_zh"),
+    )
+    nested = hydrate_entities(entity, p31, p279)
+    # canonical serialization OF THE NESTED STRUCT (paths '>'-joined,
+    # path list '|'-joined) — engine-portable, order-stable
+    paths = lambda rel, fld: F.concat_ws(
+        "|", F.transform(F.col(f"{rel}.{fld}"),
+                         lambda p: F.concat_ws(">", p)))
+    return nested.select(
+        "qid",
+        F.col("label.en").alias("label_en"),
+        F.col("desc.en").alias("desc_en"),
+        F.concat_ws(",", "alt.en").alias("alt_en"),
+        paths("p31", "qid").alias("p31_qid"),
+        paths("p31", "en").alias("p31_en"),
+        paths("p279", "qid").alias("p279_qid"),
+        paths("p279", "en").alias("p279_en"),
+    )
+
+
+ORACLE_ENTITY_HYDRATE = """
+WITH sup AS (
+  SELECT 'Q' || s_nationkey AS qid,
+         'S' || s_suppkey || '>R' || r_regionkey AS pq,
+         s_name || '>' || r_name AS pe,
+         ROW_NUMBER() OVER (PARTITION BY s_nationkey ORDER BY s_suppkey) rn
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+), p31 AS (
+  SELECT qid,
+         string_agg(pq, '|' ORDER BY rn) AS p31_qid,
+         string_agg(pe, '|' ORDER BY rn) AS p31_en
+  FROM sup WHERE rn <= 11 GROUP BY qid
+), cust AS (
+  SELECT 'Q' || c_nationkey AS qid,
+         'C' || c_custkey || '>' || c_mktsegment AS pq,
+         c_name AS pe,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) rn
+  FROM customer
+), p279 AS (
+  SELECT qid,
+         string_agg(pq, '|' ORDER BY rn) AS p279_qid,
+         string_agg(pe, '|' ORDER BY rn) AS p279_en
+  FROM cust WHERE rn <= 11 GROUP BY qid
+)
+SELECT 'Q' || n_nationkey AS qid,
+       n_name AS label_en,
+       r_name AS desc_en,
+       LOWER(n_name) AS alt_en,
+       COALESCE(p31_qid, '') AS p31_qid,
+       COALESCE(p31_en, '') AS p31_en,
+       COALESCE(p279_qid, '') AS p279_qid,
+       COALESCE(p279_en, '') AS p279_en
+FROM nation
+JOIN region ON n_regionkey = r_regionkey
+LEFT JOIN p31 ON p31.qid = 'Q' || n_nationkey
+LEFT JOIN p279 ON p279.qid = 'Q' || n_nationkey
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: media spans -> binary payload table ->
     Arrow-batched feature extraction (decode stubbed; schema/batching
@@ -857,6 +967,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "embedding_neardup": (q_embedding_neardup, ORACLE_EMB_NEARDUP),
     "simhash_neardup": (q_simhash_neardup, None),
     "grouped_renest": (q_grouped_renest, ORACLE_GROUPED_RENEST),
+    "entity_hydrate_nested": (q_entity_hydrate_nested, ORACLE_ENTITY_HYDRATE),
     "media_features": (q_media_features, None),
     "media_span_stats": (q_media_span_stats, ORACLE_MEDIA_SPAN_STATS),
     "er_mention_stats": (q_er_mention_stats, ORACLE_ER_MENTION_STATS),
