@@ -71,3 +71,33 @@ def test_salted_join_matches_plain_join(spark):
         )
     )
     assert salted == plain and len(plain) > 0
+
+
+def test_incremental_components_equals_full(spark, tmp_path):
+    """Folding edge batches through incremental_components must yield the
+    same partition AND labels as one CC over the union of all edges."""
+    from wdel_spark.operators.cc import (
+        connected_components, incremental_components)
+    from wdel_spark.streaming.stream_pipeline import update_clusters
+
+    batch1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "src long, dst long")
+    batch2 = spark.createDataFrame(
+        [(3, 10),          # merges {1,2,3} with {10,11}
+         (30, 31),         # brand-new component
+         (21, 20)],        # duplicate of an old edge, reversed
+        "src long, dst long")
+
+    full = connected_components(batch1.unionByName(batch2))
+    inc1 = incremental_components(None, batch1)
+    inc2 = incremental_components(inc1, batch2)
+    want = {r["node"]: r["component"] for r in full.collect()}
+    got = {r["node"]: r["component"] for r in inc2.collect()}
+    assert got == want
+
+    # persisted-state variant (streaming maintenance job), incl. resume
+    state = str(tmp_path / "cc_state")
+    update_clusters(spark, batch1, state)
+    final = update_clusters(spark, batch2, state)
+    got2 = {r["node"]: r["component"] for r in final.collect()}
+    assert got2 == want

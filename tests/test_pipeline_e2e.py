@@ -138,7 +138,7 @@ def test_attach_sig_scores_strategies_agree(spark, corpus_spark):
     mentions = extract_mentions(
         corpus_spark["documents"], with_vec=False).localCheckpoint()
     sig_scores = score_pair_sigs(
-        candidate_signatures(mentions, kb)).localCheckpoint()
+        candidate_signatures(mentions, kb), kb).localCheckpoint()
 
     def run(strategy, **kw):
         df = attach_sig_scores(mentions, sig_scores, strategy=strategy, **kw)
@@ -158,3 +158,20 @@ def test_attach_sig_scores_strategies_agree(spark, corpus_spark):
     pd.testing.assert_frame_equal(base, shuffled)
     pd.testing.assert_frame_equal(base, salted)
     pd.testing.assert_frame_equal(base, auto_big)
+
+
+def test_cg_recall_at_k_vs_gold(spark_result, oracle_result):
+    """CG recall over the ER pipeline's own candidate lists vs gold
+    entities (reference eval: prediction.py:64-72 + utils/io.py Stats) —
+    the driver-checked analog is rank_of_gold; this is the pipeline-level
+    metric."""
+    res, _ = spark_result
+    _, gold = oracle_result
+    ranked = res["ranked"].toPandas()
+    m = ranked.merge(gold, on=["doc_id", "span_idx"])
+    hit = m[m["qid"] == m["gold_qid"]][["doc_id", "span_idx", "rank"]]
+    n_mentions = gold[["doc_id", "span_idx"]].drop_duplicates().shape[0]
+    recall = {k: len(hit[hit["rank"] <= k]) / n_mentions for k in (1, 5, 10)}
+    assert recall[1] >= 0.95, recall
+    assert recall[10] >= recall[5] >= recall[1]
+    assert recall[10] >= 0.97, recall

@@ -72,13 +72,21 @@ def test_context_split():
 
 
 def test_char_budget_window_serving_formula():
-    # quota = 128 - (5+4)//2 = 124
+    """Byte-exact vs the reference (pipeline.py:120-126), including its
+    always-negative right quota: right[:max_len - mlen - left_quota]."""
     left, m, right = "L" * 300, "abcde", "R" * 300
     out = char_budget_window(left, m, right, max_len=128)
-    assert out == "L" * 124 + "<<abcde>>" + "R" * 124
-    # degenerate: huge mention -> no context
+    # left_quota = 128 - 9//2 = 124; right_quota = 128 - 9 - 124 = -5
+    # -> right keeps all but its last 5 chars
+    assert out == "L" * 124 + "<<abcde>>" + "R" * 295
+    # short right context: right[:-5] of 3 chars -> empty
+    out_short = char_budget_window(left, m, "RRR", max_len=128)
+    assert out_short == "L" * 124 + "<<abcde>>"
+    # huge mention: left_quota = 128 - 304//2 = -24 -> reference's
+    # left[-(-24):] DROPS the first 24 chars; right_quota = 128 - 304 -
+    # (-24) = -152 -> right[:-152] keeps the first 148 of 300
     out2 = char_budget_window(left, "x" * 300, right, max_len=128)
-    assert out2 == "<<" + "x" * 300 + ">>"
+    assert out2 == "L" * (300 - 24) + "<<" + "x" * 300 + ">>" + "R" * 148
 
 
 def test_token_budget_window_spillover():

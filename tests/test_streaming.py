@@ -45,3 +45,29 @@ def test_streaming_matches_batch(spark, corpus_spark, tmp_path):
     want_s = want.sort_values(key).reset_index(drop=True)
     assert len(got_s) == len(want_s) > 0
     assert (got_s["qid"] == want_s["qid"]).all()
+
+
+def test_streaming_sink_idempotent_on_batch_replay(spark, corpus_spark,
+                                                   tmp_path):
+    """A retried micro-batch must replace its own partition, not append
+    duplicates (foreachBatch is at-least-once; the sink makes it
+    effectively-once via _batch_id dynamic partition overwrite)."""
+    docs_path = str(tmp_path / "docs_in2")
+    out_path = str(tmp_path / "assign_out2")
+    corpus_spark["documents"].write.parquet(docs_path)
+    kb = prepare_kb(
+        corpus_spark["kb_aliases"],
+        corpus_spark["entity_vectors"],
+        corpus_spark["redirects"],
+        corpus_spark["wikimedia_filter"],
+    )
+    # run the same stream twice with FRESH checkpoints: the second run
+    # replays batch 0 against an output dir that already has it — the
+    # harshest at-least-once scenario
+    run_streaming_assignments(spark, docs_path, kb, out_path,
+                              str(tmp_path / "ckpt_a"))
+    n1 = spark.read.parquet(out_path).count()
+    run_streaming_assignments(spark, docs_path, kb, out_path,
+                              str(tmp_path / "ckpt_b"))
+    n2 = spark.read.parquet(out_path).count()
+    assert n1 == n2 > 0  # replay replaced, not duplicated

@@ -475,7 +475,7 @@ def gen_corpus_spark(spark, cfg: CorpusConfig, n_partitions: int = 32):
             rows = [gen_entity(cfg, int(i)) for i in pdf["id"].tolist()]
             yield pd.DataFrame(rows, columns=[
                 "qid", "label_en", "label_zh", "desc_en", "desc_zh",
-                "alt_en", "alt_zh", "p31_qid"])
+                "alt_en", "alt_zh", "p31_qid", "p31_en", "p31_zh"])
 
     def gen_redirect_part(batches):
         for pdf in batches:
@@ -506,7 +506,9 @@ def gen_corpus_spark(spark, cfg: CorpusConfig, n_partitions: int = 32):
             gen_entity_part,
             schema="qid string, label_en string, label_zh string, "
                    "desc_en string, desc_zh string, alt_en array<string>, "
-                   "alt_zh array<string>, p31_qid array<array<string>>"),
+                   "alt_zh array<string>, p31_qid array<array<string>>, "
+                   "p31_en array<array<string>>, "
+                   "p31_zh array<array<string>>"),
         "redirects": ent_rng.mapInPandas(
             gen_redirect_part, schema="src_qid string, dst_qid string"),
         "wikimedia_filter": ent_rng.mapInPandas(

@@ -161,9 +161,10 @@ def er_over_testdata(
     mentions = extract_mentions(docs, with_vec=False).localCheckpoint(
         eager=True)
     sig_scores = score_pair_sigs(
-        candidate_signatures(mentions, kb, params)
+        candidate_signatures(mentions, kb, params), kb
     ).localCheckpoint(eager=True)
-    cand_scores = attach_sig_scores(mentions, sig_scores)
+    cand_scores = attach_sig_scores(
+        mentions, sig_scores, sig_rows=sig_scores.count())
     ranked = top_k_per_group(
         cand_scores, ["doc_id", "span_idx"],
         [F.desc("score"), F.asc("qid")], params.top_k)
@@ -233,10 +234,20 @@ def run_er_from_parquet(
     kb = prepare_kb(rd("kb_aliases"), rd("entity_vectors"),
                     rd("redirects"), rd("wikimedia_filter")
                     ).localCheckpoint(eager=True)
-    mentions = extract_mentions(rd("documents"), with_vec=False
-                                ).localCheckpoint(eager=True)
-    sig_scores = score_pair_sigs(candidate_signatures(mentions, kb, params))
-    cand_scores = attach_sig_scores(mentions, sig_scores)
+    # mentions: NO checkpoint — S1 is pure Catalyst over the parquet scan
+    # (sub-second at 1M docs), and materializing 8.75M rows to block
+    # storage burned >10x more CPU at local[32] than recomputing the
+    # stage per consumer (concurrent block-store allocation pressure)
+    mentions = extract_mentions(rd("documents"), with_vec=False)
+    # sig_scores is signature-granular (tiny); checkpoint it and pass the
+    # exact count so attach_sig_scores' auto strategy can pick broadcast —
+    # the unknown-size fallback sort-merge join shuffles EVERY mention
+    # occurrence (~the whole corpus) for nothing
+    sig_scores = score_pair_sigs(
+        candidate_signatures(mentions, kb, params), kb).localCheckpoint(
+        eager=True)
+    cand_scores = attach_sig_scores(
+        mentions, sig_scores, sig_rows=sig_scores.count())
     ranked = top_k_per_group(
         cand_scores, ["doc_id", "span_idx"],
         [F.desc("score"), F.asc("qid")], params.top_k)
@@ -276,9 +287,11 @@ def run_er_synthetic(
     # checkpointed runner; localCheckpoint is its in-memory analog)
     mentions = extract_mentions(t["documents"], with_vec=False
                                 ).localCheckpoint(eager=True)
-    # sig_scores feeds exactly one broadcast -> no checkpoint barrier needed
-    sig_scores = score_pair_sigs(candidate_signatures(mentions, kb, params))
-    cand_scores = attach_sig_scores(mentions, sig_scores)
+    sig_scores = score_pair_sigs(
+        candidate_signatures(mentions, kb, params), kb).localCheckpoint(
+        eager=True)
+    cand_scores = attach_sig_scores(
+        mentions, sig_scores, sig_rows=sig_scores.count())
     ranked = top_k_per_group(
         cand_scores, ["doc_id", "span_idx"],
         [F.desc("score"), F.asc("qid")], params.top_k)

@@ -26,11 +26,23 @@ def context_split(doc: str, start: int, end: int) -> tuple[str, str, str]:
 def char_budget_window(
     context_left: str, mention: str, context_right: str, max_len: int = 128
 ) -> str:
-    """F4 serving-path formula (pipeline.py:123-126)."""
-    quota = max_len - (len(mention) + 4) // 2
-    left = context_left[-quota:] if quota > 0 else ""
-    right = context_right[:quota] if quota > 0 else ""
-    return f"{left}<<{mention}>>{right}"
+    """F4 serving-path formula, reproduced EXACTLY (pipeline.py:120-126):
+
+        mention_length = len(mention) + 4
+        left_quota  = max_len - mention_length // 2
+        right_quota = max_len - mention_length - left_quota
+        left[-left_quota:] + "<<m>>" + right[:right_quota]
+
+    ``right_quota`` is ALWAYS negative (= -ceil(mention_length/2)) — the
+    reference's negative slice keeps the right context minus its LAST
+    ceil(mention_length/2) chars.  A quirk, but this string is scoring
+    input; byte parity wins (ADVICE r1).  Note python slice semantics are
+    part of the spec: ``left[-0:]`` (huge mention) is the WHOLE left."""
+    mention_length = len(mention) + 4
+    left_quota = max_len - mention_length // 2
+    right_quota = max_len - mention_length - left_quota
+    return (context_left[-left_quota:] + f"<<{mention}>>"
+            + context_right[:right_quota])
 
 
 def token_budget_window(

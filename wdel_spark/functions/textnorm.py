@@ -22,19 +22,67 @@ compute on 10^12 rows (O(len log len) per string inside an Arrow batch).
 from __future__ import annotations
 
 import re
-import unicodedata
 
-# Common Traditional -> Simplified Chinese single-char mappings.  A real
-# deployment swaps in a full OpenCC table behind the same dict; semantics
-# (table-driven char translate) are identical.
+# Traditional -> Simplified Chinese single-char mappings (standard
+# unambiguous pairs, hand-vetted; ~490 entries covering the high-frequency
+# traditional forms).  The reference uses HanziConv's full table
+# (`process_string.py:13-15`); a production deployment swaps in a complete
+# OpenCC-derived table behind this same dict — semantics (table-driven
+# char translate, JVM `F.translate` / python `str.translate`) are
+# identical either way.  Encoded as alternating trad/simp chars.
+_T2S_PAIRS = (
+    "體体國国學学會会語语說说愛爱時时間间書书東东馬马鳥鸟龍龙萬万與与"
+    "門门問问風风雲云電电車车長长島岛羅罗灣湾漢汉華华發发經经樂乐歷历"
+    "當当點点黨党醫医藝艺號号處处區区廣广應应罷罢辦办幫帮報报備备筆笔"
+    "畢毕邊边標标別别賓宾補补財财參参慘惨產产場场嘗尝徹彻塵尘稱称懲惩"
+    "遲迟衝冲蟲虫醜丑觸触傳传詞词叢丛達达帶带擔担單单導导燈灯鄧邓敵敌"
+    "遞递釣钓調调諜谍頂顶錠锭動动斷断隊队對对噸吨奪夺墮堕兒儿爾尔罰罚"
+    "閥阀飯饭訪访紡纺飛飞費费紛纷墳坟奮奋憤愤豐丰鳳凤膚肤婦妇復复負负"
+    "該该蓋盖趕赶鋼钢個个給给鞏巩貢贡溝沟構构購购顧顾觀观館馆慣惯歸归"
+    "龜龟過过壺壶護护滬沪畫画劃划話话懷怀壞坏歡欢環环還还緩缓換换黃黄"
+    "揮挥輝辉匯汇獲获貨货禍祸擊击機机積积饑饥齊齐際际繼继記记紀纪濟济"
+    "計计繫系價价駕驾堅坚監监減减簡简見见艦舰將将漿浆講讲獎奖醬酱膠胶"
+    "澆浇驕骄階阶節节潔洁結结誡诫緊紧進进盡尽勁劲荊荆驚惊鏡镜競竞舊旧"
+    "劇剧據据鋸锯捲卷絕绝覺觉軍军開开凱凯顆颗殼壳課课墾垦懇恳庫库褲裤"
+    "誇夸塊块寬宽礦矿虧亏擴扩蠟蜡來来賴赖藍蓝欄栏攔拦爛烂勞劳類类離离"
+    "禮礼麗丽勵励曆历連连聯联憐怜練练煉炼戀恋糧粮兩两輛辆療疗獵猎臨临"
+    "鄰邻靈灵嶺岭領领劉刘樓楼陸陆驢驴呂吕慮虑綠绿亂乱倫伦輪轮論论蘿萝"
+    "騾骡駱骆媽妈瑪玛碼码罵骂嗎吗買买賣卖邁迈滿满貓猫貿贸沒没們们夢梦"
+    "謎谜覓觅綿绵麵面廟庙滅灭憫悯閩闽鳴鸣銘铭謀谋畝亩難难腦脑惱恼內内"
+    "擬拟聶聂寧宁農农諾诺歐欧毆殴盤盘龐庞賠赔噴喷鵬鹏騙骗飄飘頻频貧贫"
+    "蘋苹評评潑泼撲扑樸朴棲栖淒凄氣气棄弃牽牵鉛铅謙谦錢钱鉗钳淺浅譴谴"
+    "槍枪牆墙強强搶抢鍬锹橋桥僑侨竅窍竊窃親亲寢寝輕轻氫氢傾倾頃顷請请"
+    "慶庆窮穷瓊琼趨趋軀躯權权勸劝卻却確确讓让擾扰熱热認认榮荣絨绒軟软"
+    "銳锐潤润灑洒薩萨賽赛傘伞喪丧騷骚掃扫澀涩殺杀紗纱篩筛曬晒閃闪陝陕"
+    "贍赡傷伤賞赏燒烧紹绍攝摄懾慑設设紳绅審审嬸婶腎肾滲渗聲声繩绳勝胜"
+    "聖圣師师獅狮濕湿詩诗蝕蚀實实識识駛驶勢势適适釋释飾饰視视試试壽寿"
+    "獸兽贖赎樹树術术豎竖數数帥帅雙双誰谁稅税順顺碩硕絲丝飼饲鬆松聳耸"
+    "頌颂訟讼誦诵蘇苏訴诉肅肃雖虽隨随歲岁孫孙損损筍笋縮缩瑣琐鎖锁態态"
+    "攤摊貪贪癱瘫灘滩壇坛談谈嘆叹湯汤燙烫騰腾謄誊條条貼贴鐵铁廳厅聽听"
+    "銅铜統统頭头圖图塗涂團团頹颓蛻蜕脫脱鴕鸵馱驮駝驼橢椭窪洼襪袜彎弯"
+    "頑顽網网韋韦違违圍围為为濰潍維维偉伟偽伪緯纬謂谓衛卫溫温聞闻穩稳"
+    "甕瓮蝸蜗渦涡窩窝臥卧嗚呜鎢钨烏乌誣诬無无蕪芜吳吴塢坞霧雾務务誤误"
+    "錫锡犧牺習习銑铣戲戏細细蝦虾轄辖峽峡俠侠狹狭廈厦鮮鲜纖纤鹹咸銜衔"
+    "閒闲顯显險险現现獻献縣县餡馅憲宪線线鄉乡詳详響响項项蕭萧囂嚣銷销"
+    "曉晓嘯啸協协挾挟攜携脅胁諧谐寫写瀉泻謝谢鋅锌釁衅興兴洶汹鏽锈須须"
+    "虛虚許许敘叙緒绪續续軒轩懸悬選选癬癣絢绚勛勋詢询尋寻馴驯訓训訊讯"
+    "遜逊壓压鴉鸦鴨鸭啞哑亞亚嚴严鹽盐顏颜閻阎艷艳厭厌硯砚彥彦諺谚驗验"
+    "鴦鸯楊杨揚扬瘍疡陽阳養养樣样堯尧搖摇窯窑謠谣藥药爺爷頁页業业葉叶"
+    "儀仪遺遗義义億亿憶忆議议譯译異异陰阴銀银飲饮隱隐纓缨鷹鹰螢萤營营"
+    "贏赢穎颖喲哟擁拥傭佣踴踊優优憂忧郵邮鈾铀猶犹遊游誘诱輿舆魚鱼漁渔"
+    "娛娱嶼屿獄狱譽誉預预馭驭鴛鸳淵渊員员圓圆遠远願愿約约躍跃鑰钥嶽岳"
+    "醞酝運运鑿凿棗枣責责擇择則则澤泽賊贼贈赠紮扎軋轧閘闸詐诈齋斋債债"
+    "氈毡盞盏斬斩輾辗嶄崭戰战綻绽張张漲涨帳帐賬账趙赵蟄蛰轍辙鍺锗這这"
+    "貞贞針针偵侦診诊鎮镇陣阵掙挣睜睁猙狰爭争幀帧鄭郑證证織织職职執执"
+    "紙纸摯挚擲掷幟帜質质滯滞鐘钟終终腫肿眾众謅诌軸轴皺皱晝昼驟骤豬猪"
+    "諸诸誅诛燭烛矚瞩囑嘱貯贮鑄铸築筑駐驻專专磚砖轉转賺赚樁桩裝装妝妆"
+    "壯壮狀状錐锥贅赘墜坠綴缀諄谆濁浊茲兹資资漬渍蹤踪總总縱纵鄒邹組组"
+    "鑽钻題题雞鸡級级極极隻只製制錯错鍋锅餅饼餓饿飽饱餃饺幾几鵝鹅螞蚂"
+    "蟻蚁貝贝貴贵賤贱賜赐賀贺貸贷賦赋賭赌贊赞頒颁頗颇頸颈馮冯駁驳驅驱"
+    "騎骑紅红純纯綁绑綜综綢绸綱纲編编緣缘縛缚縫缝繡绣繪绘繳缴繽缤纏缠"
+)
 TRAD2SIMP: dict[str, str] = {
-    "體": "体", "國": "国", "學": "学", "會": "会", "語": "语", "說": "说",
-    "愛": "爱", "時": "时", "間": "间", "書": "书", "東": "东", "馬": "马",
-    "鳥": "鸟", "龍": "龙", "萬": "万", "與": "与", "門": "门", "問": "问",
-    "風": "风", "雲": "云", "電": "电", "車": "车", "長": "长", "島": "岛",
-    "羅": "罗", "灣": "湾", "漢": "汉", "華": "华", "發": "发", "經": "经",
-    "樂": "乐", "歷": "历", "當": "当", "點": "点", "黨": "党", "醫": "医",
-    "藝": "艺", "號": "号", "處": "处", "區": "区", "廣": "广", "應": "应",
+    _T2S_PAIRS[i]: _T2S_PAIRS[i + 1] for i in range(0, len(_T2S_PAIRS), 2)
 }
 _TRAD2SIMP_TRANS = str.maketrans(TRAD2SIMP)
 
@@ -47,12 +95,15 @@ _PUNCT_RE = re.compile(r"[^\w\s一-鿿]+", re.UNICODE)
 def normalize_text(s: str | None) -> str:
     """Canonical form used for both blocking and scoring.
 
-    NFKC -> trad2simp -> lowercase -> strip punctuation -> collapse spaces.
-    Pure function; called from pandas UDFs (batch loop) and the oracle.
+    trad2simp -> lowercase -> strip punctuation -> collapse spaces.
+    Matches the reference's cleaning (HanziConv fold `process_string.py:
+    72-75` + lowercase `tokenization.py:107,184`); no NFKC — the reference
+    never applies it, and keeping the chain NFKC-free lets the SAME
+    semantics run as whole-stage-codegen Catalyst expressions
+    (``normalize_col``) with this python form as the oracle.
     """
     if s is None:
         return ""
-    s = unicodedata.normalize("NFKC", s)
     s = s.translate(_TRAD2SIMP_TRANS)
     s = s.lower()
     s = _PUNCT_RE.sub(" ", s)
@@ -68,3 +119,40 @@ def block_key(norm: str) -> str:
     Empty normalized text gets an empty key and is filtered before the join.
     """
     return "".join(sorted(norm.replace(" ", "")))
+
+
+# ------------------------------------------------- Catalyst (JVM) forms
+#
+# S1 featurization runs on every mention of every document — the hottest
+# path in the pipeline.  These Catalyst builders keep it inside
+# whole-stage codegen (no python workers at all); the python kernels
+# above are the oracle and are fuzz-pinned equal (tests/test_kernels).
+
+def normalize_col(col) -> "F.Column":
+    """JVM-side ``normalize_text``: translate -> lower -> punct -> ws.
+
+    ``(?U)`` gives Java's regex unicode character classes, matching
+    python's unicode-aware ``\\w``/``\\s`` on the BMP alphabets we fold.
+    """
+    from pyspark.sql import functions as F
+
+    trads = "".join(TRAD2SIMP.keys())
+    simps = "".join(TRAD2SIMP.values())
+    c = F.translate(col, trads, simps)
+    c = F.lower(c)
+    # java's (?U)\w includes combining marks (\p{Mn}); python's \w does
+    # not — fold marks into the punct class so both sides agree
+    c = F.regexp_replace(c, r"(?U)(?:[^\w\s一-鿿]|\p{Mn})+", " ")
+    c = F.regexp_replace(c, r"(?U)\s+", " ")
+    return F.trim(c)
+
+
+def block_key_col(norm_col) -> "F.Column":
+    """JVM-side ``block_key``: sorted characters of the normalized text."""
+    from pyspark.sql import functions as F
+
+    chars = F.split(F.replace(norm_col, F.lit(" "), F.lit("")), "")
+    # split on "" yields a trailing "" element on some Spark versions —
+    # filter keeps the key identical to "".join(sorted(...))
+    return F.concat_ws(
+        "", F.array_sort(F.filter(chars, lambda ch: ch != "")))

@@ -118,3 +118,27 @@ def connected_components(
         nodes.join(comp, "node", "left")
         .select("node", F.coalesce("component", "node").alias("component"))
     )
+
+
+def incremental_components(
+    prev: DataFrame | None,
+    new_edges: DataFrame,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Merge a NEW edge batch into an existing component assignment
+    without reprocessing the historical edge log.
+
+    Prior state compresses losslessly into star edges (node ->
+    component): each prior component is connectivity-equivalent to its
+    star, and the component label (its min node id) is itself a member
+    node, so CC over (stars ∪ new_edges) produces exactly the partition
+    and labels that CC over (full history ∪ new_edges) would.  Streaming
+    state is therefore O(live nodes), not O(edges ever seen) — the
+    incremental-CC operator round 1 left as a placeholder
+    (stream_pipeline re-clustered the full log each trigger)."""
+    if prev is None:
+        return connected_components(new_edges, max_iterations)
+    stars = prev.select(
+        F.col("node").alias("src"), F.col("component").alias("dst"))
+    merged = stars.unionByName(new_edges.select("src", "dst"))
+    return connected_components(merged, max_iterations)

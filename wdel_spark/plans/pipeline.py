@@ -31,7 +31,12 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from wdel_spark.functions.textnorm import normalize_text, block_key
+from wdel_spark.functions.textnorm import (
+    normalize_text,
+    block_key,
+    normalize_col,
+    block_key_col,
+)
 from wdel_spark.functions.scoring import (
     hash_embed,
     cosine_pairs,
@@ -75,6 +80,28 @@ _MENTION_SLIM_SCHEMA = (
 )
 
 
+# mention text -> (norm, block_key) memo.  Mention texts repeat massively
+# (Zipf), and with spark.python.worker.reuse the memo survives across
+# batches AND stages within one worker.  Pure cache: byte-identical output.
+_NORM_MEMO: dict[str, tuple[str, str]] = {}
+_NORM_MEMO_MAX = 1 << 20
+
+
+def _norm_and_key(texts) -> tuple[list[str], list[str]]:
+    norms, keys = [], []
+    memo = _NORM_MEMO
+    for t in texts:
+        hit = memo.get(t)
+        if hit is None:
+            n = normalize_text(t)
+            hit = (n, block_key(n))
+            if len(memo) < _NORM_MEMO_MAX:
+                memo[t] = hit
+        norms.append(hit[0])
+        keys.append(hit[1])
+    return norms, keys
+
+
 def extract_mentions(documents: DataFrame, with_vec: bool = True
                      ) -> DataFrame:
     """S1: documents -> one row per mention span, featurized.
@@ -82,34 +109,23 @@ def extract_mentions(documents: DataFrame, with_vec: bool = True
     ``posexplode`` keeps the span's array position as ``span_idx`` (the
     stable mention key — Spark must never rely on row order, SURVEY.md §2
     J4); the source ``documents`` rows are untouched, preserving the
-    span-sequence invariant.  Normalization + blocking key (+ hashed
-    embedding when ``with_vec``) happen in ONE Arrow-batched pass
-    (``mapInPandas``) — no per-row Python.
+    span-sequence invariant.
 
-    ``with_vec=False`` is the production path: embeddings are computed
+    ``with_vec=False`` is the production path and is PURE JVM: normalize
+    + blocking key are Catalyst expressions (``textnorm.normalize_col``,
+    fuzz-pinned byte-equal to the python oracle kernels), so the hottest
+    stage of the pipeline stays inside whole-stage codegen — no python
+    workers, no Arrow transfer.  (Measured: the Arrow/python-runner round
+    trip on this stage was the dominant scaling-efficiency killer at
+    local[32] even with ZERO python compute.)  Embeddings are computed
     once per *distinct* normalized mention inside the signature scorer
-    (see ``score_pair_sigs``), not per occurrence — at web scale mention
+    (``score_pair_sigs``), not per occurrence — at web scale mention
     texts repeat massively (Zipf), so per-occurrence embedding is pure
     waste and the 128-float column would dominate every shuffle.
+
+    ``with_vec=True`` keeps the Arrow-batched python path (hash_embed is
+    numpy); it repartitions by compute first.
     """
-
-    def featurize(batches):
-        for pdf in batches:
-            texts = pdf["mention"].tolist()
-            norms = [normalize_text(t) for t in texts]
-            keys = [block_key(n) for n in norms]
-            out = {
-                "doc_id": pdf["doc_id"],
-                "span_idx": pdf["span_idx"],
-                "mention": pdf["mention"],
-                "norm_mention": norms,
-                "block_key": keys,
-            }
-            if with_vec:
-                vecs = hash_embed(norms, EMBED_DIM)
-                out["m_vec"] = [v.tolist() for v in vecs]
-            yield pd.DataFrame(out)
-
     exploded = (
         documents.select(
             "doc_id", F.posexplode("spans").alias("span_idx", "span")
@@ -117,8 +133,28 @@ def extract_mentions(documents: DataFrame, with_vec: bool = True
         .where(F.col("span.kind") == "mention")
         .select("doc_id", "span_idx", F.col("span.text").alias("mention"))
     )
-    schema = _MENTION_FEAT_SCHEMA if with_vec else _MENTION_SLIM_SCHEMA
-    return exploded.mapInPandas(featurize, schema=schema)
+    if not with_vec:
+        norm = normalize_col(F.col("mention"))
+        return exploded.select(
+            "doc_id", "span_idx", "mention", norm.alias("norm_mention"),
+        ).withColumn("block_key", block_key_col(F.col("norm_mention")))
+
+    def featurize(batches):
+        for pdf in batches:
+            norms, keys = _norm_and_key(pdf["mention"].tolist())
+            vecs = hash_embed(norms, EMBED_DIM)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "span_idx": pdf["span_idx"],
+                "mention": pdf["mention"],
+                "norm_mention": norms,
+                "block_key": keys,
+                "m_vec": [v.tolist() for v in vecs],
+            })
+
+    npart = documents.sparkSession.sparkContext.defaultParallelism * 4
+    return exploded.repartition(npart).mapInPandas(
+        featurize, schema=_MENTION_FEAT_SCHEMA)
 
 
 # ------------------------------------------------------------------ KB prep
@@ -265,15 +301,18 @@ def candidate_signatures(
     row, eliminating the join skew at its source (salting remains for the
     occurrence fan-out join when the signature table outgrows broadcast).
 
-    Output: distinct (norm_mention, norm_alias, qid, e_vec).
+    Output: distinct SLIM (norm_mention, norm_alias, qid) — the entity
+    vector is deliberately NOT attached here: every downstream shuffle
+    (dedupe, compute-repartition before the python scorer) would carry a
+    512-byte vector per row for nothing (~10x the shuffle bytes,
+    measured); ``score_pair_sigs`` re-attaches vectors AFTER its
+    repartition.
     """
     sigs = (
         mentions.where(F.col("block_key") != "")
         .select("norm_mention", "block_key")
         .distinct()
     )
-    # keep the wide vector column OUT of the join+dedupe shuffles: join the
-    # slim alias table, dedupe 3 string columns, re-attach e_vec last
     k = kb.where(F.col("block_key") != "")
     k_slim = k.select("block_key", "norm_alias", "qid")
     if params.join_strategy == "broadcast":
@@ -291,14 +330,18 @@ def candidate_signatures(
     else:  # sort-merge: spread both sides, let AQE split residual skew
         joined = sigs.repartition("block_key").join(
             k_slim.hint("merge"), "block_key")
-    slim = joined.select("norm_mention", "norm_alias", "qid").dropDuplicates(
+    return joined.select("norm_mention", "norm_alias", "qid").dropDuplicates(
         ["norm_mention", "norm_alias", "qid"])
-    evec = kb.select("qid", "e_vec").dropDuplicates(["qid"])
-    return slim.join(F.broadcast(evec), "qid")
 
 
-def score_pair_sigs(pair_sigs: DataFrame) -> DataFrame:
+def score_pair_sigs(pair_sigs: DataFrame, kb: DataFrame) -> DataFrame:
     """S4': batched scorer over distinct signatures.
+
+    ``pair_sigs``: slim (norm_mention, norm_alias, qid) from
+    ``candidate_signatures``; ``kb``: any frame carrying (qid, e_vec).
+    The slim sigs are repartitioned for python-compute balance FIRST and
+    the 512-byte entity vectors join (broadcast) AFTER — the shuffle
+    moves ~60 bytes/row instead of ~600 (measured 10x).
 
     Embeds each distinct norm_mention once per Arrow batch (further
     deduped in-batch), scores against the entity vector + alias string,
@@ -328,9 +371,16 @@ def score_pair_sigs(pair_sigs: DataFrame) -> DataFrame:
 
     # Levenshtein via the Catalyst builtin (JVM, codegen) — the Arrow
     # batch carries the precomputed distance; Python only does batched
-    # numpy (JW + combine).
-    with_lev = pair_sigs.withColumn(
-        "lev", F.levenshtein("norm_mention", "norm_alias"))
+    # numpy (JW + combine).  Respread before the python stage: the sig
+    # table is BYTE-small (AQE coalesces it to a few partitions) but
+    # python-compute-heavy — size tasks for compute, not bytes.
+    npart = pair_sigs.sparkSession.sparkContext.defaultParallelism * 2
+    evec = kb.select("qid", "e_vec").dropDuplicates(["qid"])
+    with_lev = (
+        pair_sigs.repartition(npart)
+        .join(F.broadcast(evec), "qid")
+        .withColumn("lev", F.levenshtein("norm_mention", "norm_alias"))
+    )
     scored = with_lev.mapInPandas(scorer, schema=_SIG_SCORE_SCHEMA)
     return scored.groupBy("norm_mention", "qid").agg(
         F.max("score").alias("score"))
@@ -593,7 +643,7 @@ def run_pipeline(
     counters["pairs_scored"] = sigs.count()   # distinct signatures scored
 
     sig_scores, _ = stage(
-        "s4_sig_scores", lambda: score_pair_sigs(sigs),
+        "s4_sig_scores", lambda: score_pair_sigs(sigs, kb),
         [stage_hash["s2_pair_sigs"]])
 
     cand_scores = attach_sig_scores(

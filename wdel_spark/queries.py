@@ -416,6 +416,70 @@ FROM documents
 
 # ----------------------------------------------- training-data pipeline ops
 
+def q_token_window(spark, sf_dir):
+    """F5 token-budget context window (tokenization.py:187-245 budget
+    algebra) wired as a real stage: each document's middle token is the
+    'mention', neighbors split the remaining budget with spill-over
+    redistribution.  Runs the SAME python kernel the tests pin
+    (functions/context.token_budget_window) inside an Arrow batch."""
+    import pandas as pd
+    from wdel_spark.functions.context import token_budget_window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " +")
+    base = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        toks.alias("toks"),
+        (F.floor(F.size(toks) / 2) + 1).cast("int").alias("midpos"),
+    )
+
+    def run(batches):
+        for pdf in batches:
+            outs, ns = [], []
+            for tk, mid in zip(pdf["toks"], pdf["midpos"]):
+                tk = list(tk)
+                w = token_budget_window(
+                    tk[: mid - 1], [tk[mid - 1]], tk[mid:], max_tokens=32)
+                outs.append(" ".join(w))
+                ns.append(len(w))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "window_str": outs,
+                "n_window_tokens": ns,
+            })
+
+    return base.mapInPandas(
+        run, "doc_id string, window_str string, n_window_tokens int")
+
+
+ORACLE_TOKEN_WINDOW = """
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split_regex(text, ' +') AS toks
+  FROM documents
+), q AS (
+  SELECT doc_id, toks,
+         CAST(floor(len(toks) / 2) AS INT) + 1 AS midpos,
+         CAST(floor(len(toks) / 2) AS INT) AS nl,
+         len(toks) - CAST(floor(len(toks) / 2) AS INT) - 1 AS nr
+  FROM t
+), w AS (
+  SELECT *, LEAST(nl, 14) AS tl0, LEAST(nr, 15) AS tr0 FROM q
+), x AS (
+  SELECT *, LEAST(nl, tl0 + GREATEST(29 - tl0 - tr0, 0)) AS tl1 FROM w
+), y AS (
+  SELECT *, LEAST(nr, tr0 + GREATEST(29 - tl1 - tr0, 0)) AS tr1 FROM x
+)
+SELECT doc_id,
+       array_to_string(
+         toks[midpos - tl1 : midpos - 1]
+         || ['[L]', toks[midpos], '[R]']
+         || toks[midpos + 1 : midpos + tr1], ' ') AS window_str,
+       tl1 + tr1 + 3 AS n_window_tokens
+FROM y
+"""
+
+
 def q_exact_dedup(spark, sf_dir):
     """Exact dedup via content hash: groups with >1 copy (hash-groupBy)."""
     d = _t(spark, sf_dir, "documents")
@@ -709,13 +773,89 @@ WHERE ROUND(list_dot_product(a.v, b.v) /
 
 def q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup pairs — Arrow-batched 64-bit simhash kernel +
-    16-bit band blocking.  Kernel not SQL-expressible (weak check here;
-    exact kernel parity is pytest-verified against a pure-python oracle)."""
+    16-bit band blocking.  Fully oracle-checked: the md5-per-gram bit-sum
+    simhash is reproduced in DuckDB via ``md5_number_upper`` (first 8
+    digest bytes little-endian; the byte-swap index ``56 - 8*(b//8) +
+    b%8`` maps to our big-endian bit order), then banded + Hamming-joined
+    in SQL."""
     from wdel_spark.operators.dedup import simhash_neardup_pairs
 
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"), "text")
     return simhash_neardup_pairs(d, "doc_id", "text", max_hamming=16)
+
+
+ORACLE_SIMHASH = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc, text FROM documents
+), pos AS (
+  SELECT doc, text,
+         unnest(range(1, greatest(length(text) - 3, 1) + 1)) AS i
+  FROM d
+), gh AS (
+  SELECT doc, md5_number_upper(substring(text, i, 4)) AS h FROM pos
+), bits AS (
+  SELECT doc, bb.b AS b,
+         CASE WHEN ((h >> (56 - 8*(bb.b // 8) + (bb.b % 8))) & 1) = 1
+              THEN 1 ELSE -1 END AS s
+  FROM gh, (SELECT unnest(generate_series(0, 62)) AS b) bb
+), acc AS (
+  SELECT doc, b, SUM(s) AS t FROM bits GROUP BY doc, b
+), sims AS (
+  SELECT doc,
+         CAST(SUM(CASE WHEN t > 0 THEN (1::BIGINT << b) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM acc GROUP BY doc
+), bands AS (
+  SELECT doc, simhash, bd.band AS band,
+         (simhash >> (bd.band * 16)) & 65535 AS key
+  FROM sims, (SELECT unnest([0, 1, 2, 3]) AS band) bd
+)
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+"""
+
+
+def q_er_cluster_partition(spark, sf_dir):
+    """The ER pipeline's CLUSTER PARTITION, canonically serialized for a
+    hard oracle check: run the full blocking -> scoring -> CC pipeline
+    (er_over_testdata), then identify each cluster by its lexicographic
+    min member and size.  On the self-supervised vocab corpus the correct
+    partition is exactly 'mentions grouped by their token' — SQL can
+    state the EXPECTED partition even though iterative CC itself is not
+    SQL-expressible, turning the former rows-only check into a
+    value-hash check of the clustering output."""
+    from wdel_spark.entry_pipeline import er_over_testdata
+
+    clusters = er_over_testdata(spark, sf_dir)
+    member = F.concat_ws(":", "doc_id", F.col("span_idx").cast("string"))
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.min(member).alias("canonical_member"),
+             F.count("*").alias("n_members"))
+        .select("canonical_member", "n_members")
+    )
+
+
+ORACLE_ER_CLUSTER_PARTITION = """
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(string_split_regex(text, ' +')) AS tok,
+         generate_subscripts(string_split_regex(text, ' +'), 1) - 1 AS pos
+  FROM documents
+), mentions AS (
+  SELECT doc_id, pos, lower(tok) AS norm
+  FROM toks
+  WHERE SUBSTRING(MD5(doc_id || ':' || CAST(pos AS VARCHAR)), 1, 1)
+        IN ('0', '1', '2')
+)
+SELECT MIN(doc_id || ':' || CAST(pos AS VARCHAR)) AS canonical_member,
+       COUNT(*) AS n_members
+FROM mentions GROUP BY norm
+"""
 
 
 def q_grouped_renest(spark, sf_dir):
@@ -954,6 +1094,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "string_library": (q_string_library, ORACLE_STRING_LIB),
     "levenshtein_pairs": (q_levenshtein_pairs, ORACLE_LEVENSHTEIN),
     "context_window": (q_context_window, ORACLE_CONTEXT),
+    "token_window": (q_token_window, ORACLE_TOKEN_WINDOW),
     "exact_dedup": (q_exact_dedup, ORACLE_EXACT_DEDUP),
     "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
     "quality_score": (q_quality_score, ORACLE_QUALITY),
@@ -965,11 +1106,13 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minhash_lsh_neardup": (q_minhash_lsh_neardup, ORACLE_MINHASH),
     "ngram_jaccard_neardup": (q_ngram_jaccard_neardup, ORACLE_NGRAM_JACCARD),
     "embedding_neardup": (q_embedding_neardup, ORACLE_EMB_NEARDUP),
-    "simhash_neardup": (q_simhash_neardup, None),
+    "simhash_neardup": (q_simhash_neardup, ORACLE_SIMHASH),
     "grouped_renest": (q_grouped_renest, ORACLE_GROUPED_RENEST),
     "entity_hydrate_nested": (q_entity_hydrate_nested, ORACLE_ENTITY_HYDRATE),
     "media_features": (q_media_features, None),
     "media_span_stats": (q_media_span_stats, ORACLE_MEDIA_SPAN_STATS),
     "er_mention_stats": (q_er_mention_stats, ORACLE_ER_MENTION_STATS),
     "er_clusters_tokens": (q_er_clusters_tokens, None),
+    "er_cluster_partition": (q_er_cluster_partition,
+                             ORACLE_ER_CLUSTER_PARTITION),
 }

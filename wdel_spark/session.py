@@ -32,11 +32,13 @@ def get_spark(
     # parallelism comes from Spark tasks, not intra-op math threads
     for var in _BLAS_VARS:
         os.environ.setdefault(var, "1")
-    # shuffle/spill on tmpfs: the sandbox block device throttles after
-    # sustained IO (burst credits), stalling shuffle writes at ~1 MB/s and
-    # idling every core; RAM-backed local dirs sidestep it.  On a real
-    # cluster this maps to NVMe-backed spark.local.dir.
-    local_dir = os.environ.get("WDEL_SPARK_LOCAL_DIR", "/dev/shm/wdel-spark")
+    # spark.local.dir on plain disk, NOT tmpfs.  Round 1 moved shuffle to
+    # /dev/shm to dodge block-device throttling; round-2 A/B measurement
+    # showed tmpfs local dirs AMPLIFY task CPU ~7x at local[32] (kernel
+    # shmem allocation contention billed to task threads: identical 1M-doc
+    # job 485 s/10334 CPU-s on /dev/shm vs 119 s/1565 CPU-s on /tmp).  On
+    # a real cluster this is NVMe-backed local dirs either way.
+    local_dir = os.environ.get("WDEL_SPARK_LOCAL_DIR", "/tmp/wdel-spark-local")
     try:
         os.makedirs(local_dir, exist_ok=True)
     except OSError:
@@ -47,11 +49,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # default 64m sizes reduce-side partitions for byte-cheap JVM work;
+        # our reduce stages feed python kernels where 64 MB is minutes of
+        # compute — coalescing to ~1 wave of fat tasks kills core scaling
+        # (measured 8m -> ~1.5x e2e at local[32] on the 1M-doc ER job)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # zstd halves shuffle bytes vs lz4 — the sandbox block device
+        # throttles sustained IO, so shuffle bytes are wall-clock
+        .config("spark.io.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
