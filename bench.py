@@ -45,7 +45,11 @@ def main() -> None:
         "minmax_normalize",
         "softmax_per_user",
         "exact_dedup",
+        "minhash_lsh_neardup",
+        "simhash_neardup",
         "token_count",
+        "token_window",
+        "entity_hydrate_nested",
         "cosine_topk",
         "embedding_class_centroids",
     ]

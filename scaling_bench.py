@@ -112,14 +112,19 @@ def main() -> None:
     if "--cores" in sys.argv:
         run_one(int(sys.argv[sys.argv.index("--cores") + 1]))
         return
-    cooldown = int(os.environ.get("WDEL_SCALING_COOLDOWN", "75"))
+    cooldown = int(os.environ.get("WDEL_SCALING_COOLDOWN", "150"))
     results: dict[int, list] = {c: [] for c in LEVELS}
     first = True
     for _rep in range(N_REPS):
-        for cores in LEVELS:              # interleaved, never back-to-back
+        # ALTERNATE which level goes first: the host throttles sustained
+        # load (burst credits), so whichever level runs second in a rep is
+        # systematically slower — alternation + min-over-reps samples each
+        # level in the favorable first slot
+        order = LEVELS if _rep % 2 == 0 else tuple(reversed(LEVELS))
+        for cores in order:
             if not first:
-                # let the block device's burst credits recover: sustained
-                # IO throttling from run N measurably slows run N+1
+                # idle gap so the previous run's sustained-load throttle
+                # decays before the next measurement
                 time.sleep(cooldown)
             first = False
             out = subprocess.run(
