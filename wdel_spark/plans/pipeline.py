@@ -560,21 +560,24 @@ def verify_span_invariant(
 def _df_identity(df: DataFrame) -> str:
     """Cheap (action-free) identity of a DataFrame's INPUT DATA.
 
-    File-backed plans: sorted source file list + schema — parquet part
+    Always folds the ANALYZED LOGICAL PLAN string (ADVICE r2: a filtered
+    read over the same files must not hash equal to the raw read) plus,
+    for file-backed plans, the sorted source file list — parquet part
     files are content-addressed-ish (UUID names), so rewriting the input
-    changes the identity.  In-memory plans: the analyzed logical plan
-    string.  Feeds snapshot input_hash so resume skips a stage only when
-    its actual inputs are unchanged (ADVICE r1: constant labels silently
-    reused stale snapshots across different inputs)."""
+    changes the identity even when the plan text is stable.  Feeds
+    snapshot input_hash so resume skips a stage only when its actual
+    inputs are unchanged (ADVICE r1: constant labels silently reused
+    stale snapshots across different inputs)."""
+    import re as _re
+
     try:
         files = sorted(df.inputFiles())
     except Exception:
         files = []
-    if files:
-        key = json.dumps([files, df.schema.simpleString()])
-    else:
-        key = (df._jdf.queryExecution().analyzed().toString()
-               + df.schema.simpleString())
+    # expression ids (col#123L) are session-assigned — strip them so the
+    # same logical construction hashes identically across sessions
+    plan = _re.sub(r"#\d+L?", "#", df._jdf.queryExecution().analyzed().toString())
+    key = json.dumps([files, plan, df.schema.simpleString()])
     return hashlib.sha256(key.encode()).hexdigest()[:16]
 
 

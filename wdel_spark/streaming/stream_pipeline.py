@@ -95,20 +95,36 @@ def update_clusters(
 
     Uses ``incremental_components``: prior components enter as star edges,
     so each maintenance run costs CC over (live nodes + batch edges), not
-    over the full historical edge log.  Write-then-swap keeps the state
-    readable if the job dies mid-write."""
-    import os
+    over the full historical edge log.
 
-    cur = os.path.join(state_path, "current")
-    nxt = os.path.join(state_path, "next")
-    prev = None
-    try:
-        prev = spark.read.parquet(cur)
-        prev.first()
-    except Exception:
-        prev = None
+    State layout is VERSIONED (ADVICE r2: the old write-then-swap double
+    overwrite was neither atomic nor recoverable): each run writes a fresh
+    ``v<N>`` directory and then atomically repoints the ``CURRENT`` pointer
+    file (``os.replace``).  A crash mid-write leaves the pointer — and
+    therefore the readable state — untouched; only after the pointer swap
+    is the superseded version deleted.  A pointer that names an unreadable
+    directory is CORRUPTION and raises instead of silently resetting the
+    component state to empty."""
+    import os
+    import shutil
+
+    os.makedirs(state_path, exist_ok=True)
+    pointer = os.path.join(state_path, "CURRENT")
+    prev, cur_name = None, None
+    if os.path.exists(pointer):
+        with open(pointer) as f:
+            cur_name = f.read().strip()
+        # the pointer is written only AFTER a successful state write, so a
+        # read failure here is real corruption/transience — propagate it
+        prev = spark.read.parquet(os.path.join(state_path, cur_name))
     comps = incremental_components(prev, new_edges)
-    comps.write.mode("overwrite").parquet(nxt)
-    out = spark.read.parquet(nxt)
-    out.write.mode("overwrite").parquet(cur)
-    return spark.read.parquet(cur)
+    next_name = f"v{int(cur_name[1:]) + 1}" if cur_name else "v0"
+    next_dir = os.path.join(state_path, next_name)
+    comps.write.mode("overwrite").parquet(next_dir)
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(next_name)
+    os.replace(tmp, pointer)  # atomic pointer swap
+    if cur_name:
+        shutil.rmtree(os.path.join(state_path, cur_name), ignore_errors=True)
+    return spark.read.parquet(next_dir)
