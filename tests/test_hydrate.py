@@ -85,6 +85,31 @@ def test_hydrate_without_relation_tables(spark):
         assert d["p279"] == {"qid": [], "en": [], "zh": []}
 
 
+def test_empty_string_cells_hydrate_as_absent(spark):
+    """The reference fills fields through truthiness checks (`if label_en:`
+    pipeline.py:213-230), so an empty-string MySQL cell must hydrate
+    exactly like NULL — not to "" (ADVICE r2: "" labels leaked 'name: ;'
+    segments into the entity text serialization)."""
+    entity = spark.createDataFrame(
+        [("Q9", "", "", "", "", "", "")],
+        "qid string, label_en string, label_zh string, desc_en string, "
+        "desc_zh string, alt_en string, alt_zh string",
+    )
+    got = hydrate_entities(entity).collect()[0].asDict(recursive=True)
+    assert got["label"] == {"en": None, "zh": None}
+    assert got["desc"] == {"en": None, "zh": None}
+    assert got["alt"] == {"en": [], "zh": []}
+
+    # and the downstream serializer emits the qid-fallback form, never
+    # 'name: ;' segments or bare-'/' titles (tokenization.py truthiness)
+    from wdel_spark.functions.entity_text import title_desc_columns
+    nested = hydrate_entities(entity)
+    e = F.struct(*[F.col(c) for c in nested.columns])
+    title, desc = title_desc_columns(e)
+    row = nested.select(title.alias("t"), desc.alias("d")).collect()[0]
+    assert row["t"] == "q9" and row["d"] == "q9"
+
+
 def test_json_cells_match_mysql_shape(spark):
     """The encoded cells are the reference's MySQL cell format: JSON
     arrays (mysql_build.py:122-150) — one relation row per path."""

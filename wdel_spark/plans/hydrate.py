@@ -125,19 +125,26 @@ def hydrate_entities(
 
     The relation aggregates shuffle on qid once each and join back on qid;
     missing relations hydrate to empty path arrays (reference initializes
-    `{"qid": [], ...}` — pipeline.py:196-201)."""
+    `{"qid": [], ...}` — pipeline.py:196-201).
+
+    Empty-string cells are ABSENT: the reference fills fields through
+    truthiness checks (`if label_en:` / `if alt_en:`, pipeline.py:213-230),
+    so a ``""`` MySQL cell never hydrates — ``nullif`` mirrors that here
+    (ADVICE r2: a ``""`` label previously hydrated to ``""`` and leaked
+    ``name: ;`` segments into the entity text serialization)."""
+    absent = lambda c: F.nullif(F.col(c), F.lit(""))
     out = entity.select(
         "qid",
-        F.struct(F.col("label_en").alias("en"),
-                 F.col("label_zh").alias("zh")).alias("label"),
-        F.struct(F.col("desc_en").alias("en"),
-                 F.col("desc_zh").alias("zh")).alias("desc"),
+        F.struct(absent("label_en").alias("en"),
+                 absent("label_zh").alias("zh")).alias("label"),
+        F.struct(absent("desc_en").alias("en"),
+                 absent("desc_zh").alias("zh")).alias("desc"),
         # reference initializes alt to [] and fills only non-null cells
-        # (pipeline.py:198,225-229) -> null cell hydrates to empty array
+        # (pipeline.py:198,225-229) -> null/"" cell hydrates to empty array
         F.struct(
-            F.coalesce(F.from_json("alt_en", _ARR),
+            F.coalesce(F.from_json(absent("alt_en"), _ARR),
                        F.array().cast(_ARR)).alias("en"),
-            F.coalesce(F.from_json("alt_zh", _ARR),
+            F.coalesce(F.from_json(absent("alt_zh"), _ARR),
                        F.array().cast(_ARR)).alias("zh"),
         ).alias("alt"),
     )
