@@ -184,3 +184,61 @@ def test_trad_simp_folding_blocks_together():
     # table hygiene: translate must be idempotent (no trad char maps to
     # another trad char, so one pass fully folds)
     assert not (set(TRAD2SIMP) & set(TRAD2SIMP.values()))
+
+
+def test_normalize_col_fuzz_parity(spark):
+    """The Catalyst normalize/block-key forms must be BYTE-EQUAL to the
+    python oracle kernels — the S1 production path (with_vec=False) rests
+    on it (r2 VERDICT #1: this test was claimed but missing; the claimed
+    `(?U)\\w` equivalence was in fact wrong for Mc/Me marks, ZWJ/ZWNJ,
+    Pc connectors, No numerals, and circled letters).
+
+    Charset deliberately covers the Java-vs-Python regex divergence zoo:
+    combining marks (Mn/Mc/Me), join controls, zero-width/format chars,
+    non-decimal numerics (No/Nl), connector punctuation, full-width
+    forms, So oddballs, astral-plane letters/emoji, exotic whitespace
+    (incl. the C0 separators Python's \\s covers but White_Space omits),
+    case-mapping traps (dotted-I, final sigma, titlecase digraphs), and
+    the trad->simp table."""
+    import random
+
+    from pyspark.sql import functions as F
+    from wdel_spark.functions.textnorm import normalize_col, block_key_col
+
+    random.seed(20260816)
+    pools = [
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        "_-.,!?'\"@#$%^&*()[]{}",
+        "àéîõüçñßÆøåİıΣσςΑΒΓμεθЖЩдля",
+        "中文处理实体解析链接消歧義體國學會語說愛",
+        "ＡＢＣｄｅｆ１２３！＂＃ｶﾀｶﾅ",
+        "̀́̈͡",            # Mn
+        "ाःাਾാ",      # Mc
+        "҈҉⃝⃣",            # Me
+        "‌‍​﻿",            # ZWNJ/ZWJ/ZWSP/BOM
+        "¹²³½¼⅓①②⑩⒈",                          # No
+        "ⅠⅤⅫ〇ᛮ",                             # Nl
+        "‿⁀℘＿",            # Pc + So
+        "Ⓐⓑ㊤㍿℃№",                           # So
+        "😀🎉𝔸𝕏𐍈𠀀",                          # astral
+        " \t\n\xa0 　\x1c\x1d\x85\v\f",
+        "てすとカタカナひらがな한국어ﬁﬂǅǄ",
+    ]
+    cases = [
+        "".join(random.choice(random.choice(pools))
+                for _ in range(random.randint(0, 14)))
+        for _ in range(1500)
+    ]
+    cases += ["ΚΑΛΟΣ", "İstanbul", "straße", "ǅungla", "x́y",
+              "काम", "a‍b", "½kg", "Ⅻ章", "Ⓐteam", "a‿b",
+              "ｆｕｌｌ", "😀😀", "𝔸math", "一二三", "學習 繁體", "",
+              " ", "　　", "a__b"]
+
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = df.select(
+        "s", normalize_col(F.col("s")).alias("jn")
+    ).withColumn("jk", block_key_col(F.col("jn"))).collect()
+    for r in got:
+        pn = normalize_text(r["s"])
+        assert r["jn"] == pn, (repr(r["s"]), repr(pn), repr(r["jn"]))
+        assert r["jk"] == block_key(pn), (repr(r["s"]),)

@@ -131,8 +131,17 @@ def block_key(norm: str) -> str:
 def normalize_col(col) -> "F.Column":
     """JVM-side ``normalize_text``: translate -> lower -> punct -> ws.
 
-    ``(?U)`` gives Java's regex unicode character classes, matching
-    python's unicode-aware ``\\w``/``\\s`` on the BMP alphabets we fold.
+    Java's ``(?U)\\w`` and Python's ``\\w`` are DIFFERENT sets (Java adds
+    Mc/Me/Mn marks, Join_Control ZWJ/ZWNJ, and all of Pc; Python adds the
+    non-decimal numerics No/Nl and keeps only ``_`` from Pc) — so neither
+    side uses ``\\w``.  Both reduce to the same explicit class:
+    Python ``\\w`` = alphanumerics (L* + N*, per ``str.isalnum``) + ``_``,
+    which Java states directly as ``[\\p{L}\\p{N}_]``.  Python ``\\s``
+    additionally covers the C0 separators ``\\x1c-\\x1f`` that Unicode
+    White_Space (= Java ``(?U)\\s``) excludes, so those are folded in
+    explicitly.  Byte-parity with ``normalize_text`` is fuzz-pinned over
+    marks, joiners, numerics, full-width forms, and astral codepoints
+    (tests/test_kernels.py::test_normalize_col_fuzz_parity).
     """
     from pyspark.sql import functions as F
 
@@ -140,10 +149,8 @@ def normalize_col(col) -> "F.Column":
     simps = "".join(TRAD2SIMP.values())
     c = F.translate(col, trads, simps)
     c = F.lower(c)
-    # java's (?U)\w includes combining marks (\p{Mn}); python's \w does
-    # not — fold marks into the punct class so both sides agree
-    c = F.regexp_replace(c, r"(?U)(?:[^\w\s一-鿿]|\p{Mn})+", " ")
-    c = F.regexp_replace(c, r"(?U)\s+", " ")
+    c = F.regexp_replace(c, r"(?U)[^\p{L}\p{N}_\s\x1c-\x1f]+", " ")
+    c = F.regexp_replace(c, r"(?U)[\s\x1c-\x1f]+", " ")
     return F.trim(c)
 
 
