@@ -177,6 +177,15 @@ def test_trad_simp_folding_blocks_together():
         ("圖書館藏", "图书馆藏"),
         ("經濟學獎", "经济学奖"),
     ]
+    # round-3 expansion coverage: chars OUTSIDE the r2 784-char table
+    cases += [
+        ("工廠檢驗", "工厂检验"),
+        ("橫濱鐵橋", "横滨铁桥"),
+        ("聰明的貓", "聪明的猫"),
+        ("創業維艱", "创业维艰"),
+        ("頭髮後面", "头发后面"),
+        ("準備於裡面", "准备于里面"),
+    ]
     for trad, simp in cases:
         nt, ns = normalize_text(trad), normalize_text(simp)
         assert nt == ns, (trad, nt, ns)
@@ -184,6 +193,28 @@ def test_trad_simp_folding_blocks_together():
     # table hygiene: translate must be idempotent (no trad char maps to
     # another trad char, so one pass fully folds)
     assert not (set(TRAD2SIMP) & set(TRAD2SIMP.values()))
+
+
+def test_trad_simp_phrase_exceptions(spark):
+    """Context-sensitive chars (著/乾/瞭) must NOT fold char-wise inside
+    the exception phrases — the 著作-class cases HanziConv/OpenCC handle
+    with phrase tables (r2 VERDICT P2).  Python and JVM paths agree."""
+    from pyspark.sql import functions as F
+    from wdel_spark.functions.textnorm import normalize_col
+
+    cases = {
+        "著名作家的著作": "著名作家的著作",   # zhù keeps 著
+        "穿著紅衣":       "穿着红衣",          # zhe folds to 着
+        "乾隆乾燥":       "乾隆干燥",          # qián keeps, gān folds
+        "瞭望塔上看不瞭": "瞭望塔上看不了",
+        "顯著成就":       "显著成就",
+    }
+    for src_s, want in cases.items():
+        assert normalize_text(src_s) == want, (src_s,)
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    got = df.select("s", normalize_col(F.col("s")).alias("n")).collect()
+    for r in got:
+        assert r["n"] == cases[r["s"]], (r["s"], r["n"])
 
 
 def test_normalize_col_fuzz_parity(spark):
@@ -210,7 +241,7 @@ def test_normalize_col_fuzz_parity(spark):
         "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
         "_-.,!?'\"@#$%^&*()[]{}",
         "àéîõüçñßÆøåİıΣσςΑΒΓμεθЖЩдля",
-        "中文处理实体解析链接消歧義體國學會語說愛",
+        "中文处理实体解析链接消歧義體國學會語說愛著乾瞭名作隆望廠橫髮於",
         "ＡＢＣｄｅｆ１２３！＂＃ｶﾀｶﾅ",
         "̀́̈͡",            # Mn
         "ाःাਾാ",      # Mc

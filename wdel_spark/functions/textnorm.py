@@ -24,11 +24,13 @@ from __future__ import annotations
 import re
 
 # Traditional -> Simplified Chinese single-char mappings (standard
-# unambiguous pairs, hand-vetted; ~490 entries covering the high-frequency
-# traditional forms).  The reference uses HanziConv's full table
+# unambiguous pairs, hand-vetted; ~700 entries covering the high-frequency
+# traditional forms, plus the phrase-exception table below for
+# context-sensitive chars).  The reference uses HanziConv's table
 # (`process_string.py:13-15`); a production deployment swaps in a complete
-# OpenCC-derived table behind this same dict — semantics (table-driven
-# char translate, JVM `F.translate` / python `str.translate`) are
+# OpenCC-derived table behind this same dict + T2S_PHRASE_FIXUPS —
+# semantics (table-driven char translate + literal phrase fixups, JVM
+# `F.translate`/`F.replace` / python `str.translate`/`str.replace`) are
 # identical either way.  Encoded as alternating trad/simp chars.
 _T2S_PAIRS = (
     "體体國国學学會会語语說说愛爱時时間间書书東东馬马鳥鸟龍龙萬万與与"
@@ -80,11 +82,54 @@ _T2S_PAIRS = (
     "鑽钻題题雞鸡級级極极隻只製制錯错鍋锅餅饼餓饿飽饱餃饺幾几鵝鹅螞蚂"
     "蟻蚁貝贝貴贵賤贱賜赐賀贺貸贷賦赋賭赌贊赞頒颁頗颇頸颈馮冯駁驳驅驱"
     "騎骑紅红純纯綁绑綜综綢绸綱纲編编緣缘縛缚縫缝繡绣繪绘繳缴繽缤纏缠"
+    # round-3 expansion: +306 curated pairs (r2 VERDICT P2)
+    "廠厂恥耻礎础創创錘锤聰聪蔥葱湊凑竄窜膽胆彈弹誕诞檔档盜盗滌涤顛颠"
+    "墊垫澱淀疊叠釘钉訂订丟丢凍冻棟栋鬥斗獨独讀读鍍镀緞缎鍛锻頓顿鈍钝"
+    "額额訛讹惡恶貳贰琺珐礬矾範范販贩廢废輔辅鈣钙桿杆剛刚崗岗擱搁鴿鸽"
+    "閣阁鉻铬龔龚鉤钩蠱蛊剮剐關关閨闺軌轨詭诡櫃柜劊刽輥辊駭骇韓韩閡阂"
+    "鶴鹤橫横轟轰鴻鸿滸浒嘩哗樺桦謊谎毀毁賄贿穢秽葷荤渾浑譏讥績绩緝缉"
+    "輯辑擠挤薊蓟劑剂夾夹莢荚頰颊賈贾鉀钾殲歼箋笺艱艰緘缄繭茧檢检鹼碱"
+    "揀拣薦荐檻槛鑒鉴踐践鍵键劍剑餞饯漸渐濺溅澗涧蔣蒋槳桨嬌娇攪搅鉸铰"
+    "矯矫僥侥腳脚轎轿較较屆届錦锦僅仅謹谨晉晋燼烬莖茎靜静徑径痙痉淨净"
+    "糾纠廄厩鳩鸠駒驹舉举懼惧鵑鹃絹绢傑杰鈞钧駿骏懶懒纜缆濫滥撈捞澇涝"
+    "壘垒壢坜瀝沥礫砾糲粝蓮莲漣涟斂敛臉脸鏈链鐮镰殮殓涼凉諒谅遼辽鐐镣"
+    "鱗鳞凜凛賃赁齡龄鈴铃餾馏嚨咙籠笼聾聋蘆芦盧卢顱颅爐炉擄掳鹵卤虜虏"
+    "魯鲁賂赂祿禄錄录籮箩鑼锣絡络嘸呒鎂镁悶闷錳锰獼猕彌弥冪幂緬缅閔闵"
+    "謬谬餒馁鬧闹齧啮鑷镊檸柠獰狞濘泞鈕钮紐纽膿脓瘧疟嘔呕漚沤拋抛憑凭"
+    "鋪铺臍脐豈岂啟启訖讫釺钎遷迁簽签潛潜塹堑嗆呛薔蔷喬乔翹翘欽钦齲龋"
+    "顴颧鵲鹊饒饶繞绕韌韧紉纫閏闰鰓鳃刪删繕缮賒赊澠渑樞枢輸输屬属閂闩"
+    "爍烁慫怂擻擞綏绥獺獭撻挞譚谭濤涛絛绦討讨銻锑屜屉烴烃禿秃葦苇紋纹"
+    "撾挝襲袭璽玺嚇吓錨锚閑闲賢贤羨羡廂厢鑲镶餉饷饗飨嚮向蠍蝎噓嘘鬚须"
+    "勳勋訝讶閹阉煙烟癢痒銥铱釔钇誼谊繹绎蔭荫嬰婴癰痈詠咏園园鄆郓竈灶"
+    "棧栈脹胀鍾钟種种詛诅躓踬"
+    "著着乾干瞭了幹干後后髮发裡里裏里於于準准鉅巨倆俩濱滨"
 )
 TRAD2SIMP: dict[str, str] = {
     _T2S_PAIRS[i]: _T2S_PAIRS[i + 1] for i in range(0, len(_T2S_PAIRS), 2)
 }
 _TRAD2SIMP_TRANS = str.maketrans(TRAD2SIMP)
+
+# Context-sensitive characters (the 著/着-class phrases HanziConv's and
+# OpenCC's phrase tables handle): char-wise folding alone would corrupt
+# them (著作 -> 着作), and a phrase PRE-pass can't run JVM-side without
+# leaving Catalyst.  Equivalent formulation that stays pure-JVM: run the
+# char translate first, then fix up the (deterministic) translated form of
+# each exception phrase with literal replaces — identical chained
+# str.replace / F.replace on both sides.  Keys are stored in TRADITIONAL
+# form and translated at module load so the table reads naturally.
+_T2S_PHRASE_EXCEPTIONS: dict[str, str] = {
+    # zhù sense of 著 keeps 著 in simplified (only zhe/zháo become 着)
+    "著名": "著名", "著作": "著作", "顯著": "显著", "昭著": "昭著",
+    "土著": "土著", "著述": "著述", "編著": "编著", "專著": "专著",
+    # qián sense of 乾 keeps 乾 (only gān becomes 干)
+    "乾隆": "乾隆", "乾坤": "乾坤", "乾卦": "乾卦",
+    # liào sense of 瞭 keeps 瞭 (only le/liǎo become 了)
+    "瞭望": "瞭望", "瞭哨": "瞭哨",
+}
+T2S_PHRASE_FIXUPS: dict[str, str] = {
+    k.translate(_TRAD2SIMP_TRANS): v
+    for k, v in _T2S_PHRASE_EXCEPTIONS.items()
+}
 
 # Collapse runs of whitespace; strip punctuation that never distinguishes
 # entities (keeps CJK + alnum + spaces).
@@ -105,6 +150,9 @@ def normalize_text(s: str | None) -> str:
     if s is None:
         return ""
     s = s.translate(_TRAD2SIMP_TRANS)
+    for bad, good in T2S_PHRASE_FIXUPS.items():
+        if bad in s:
+            s = s.replace(bad, good)
     s = s.lower()
     s = _PUNCT_RE.sub(" ", s)
     s = _WS_RE.sub(" ", s).strip()
@@ -148,6 +196,8 @@ def normalize_col(col) -> "F.Column":
     trads = "".join(TRAD2SIMP.keys())
     simps = "".join(TRAD2SIMP.values())
     c = F.translate(col, trads, simps)
+    for bad, good in T2S_PHRASE_FIXUPS.items():
+        c = F.replace(c, F.lit(bad), F.lit(good))
     c = F.lower(c)
     c = F.regexp_replace(c, r"(?U)[^\p{L}\p{N}_\s\x1c-\x1f]+", " ")
     c = F.regexp_replace(c, r"(?U)[\s\x1c-\x1f]+", " ")
