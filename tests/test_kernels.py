@@ -124,19 +124,17 @@ def test_pair_score_batch_bitexact_vs_scalar():
 
 def test_simhash_kernel_vectorized_matches_scalar_reference():
     """Pin the vectorized kernel to a literal scalar transcription of the
-    simhash definition (bit b of md5[:8] big-endian, ±1 sum, sign bit 63
-    kept zero)."""
-    import hashlib
-    from wdel_spark.operators.dedup import simhash_kernel, SIMHASH_BITS
+    simhash definition (bit b of the polynomial+finalizer gram hash, ±1
+    sum, sign bit 63 kept zero)."""
+    from wdel_spark.operators.dedup import (
+        simhash_kernel, gram_hash_scalar, SIMHASH_BITS)
 
     def scalar(texts, n=4):
         out = []
         for t in texts:
             acc = [0] * SIMHASH_BITS
             for i in range(max(len(t) - n + 1, 1)):
-                h = int.from_bytes(
-                    hashlib.md5(t[i:i + n].encode("utf-8")).digest()[:8],
-                    "big")
+                h = gram_hash_scalar(t[i:i + n])
                 for b in range(SIMHASH_BITS):
                     acc[b] += 1 if (h >> b) & 1 else -1
             bits = 0
