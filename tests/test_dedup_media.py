@@ -98,6 +98,62 @@ def test_embedding_neardup_blocked_matches_brute(spark):
     assert (0, 1) in blocked         # near-identical shares the orthant
 
 
+def test_embedding_neardup_banded_recall_and_cap(spark):
+    """Band-OR LSH governance (r2 VERDICT #6): on a cluster-heavy fixture
+    the banded candidate set must recover >=95% of true near-dup pairs
+    (boundary-straddling pairs are exactly what single-orthant blocking
+    lost), while every (band, key) bucket stays within the cap."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    dim, n_clusters, per = 16, 12, 12
+    centers = rng.randn(n_clusters, dim).astype("float64")
+    vecs = []
+    for c in centers:
+        for _ in range(per):
+            vecs.append(c + 0.05 * rng.randn(dim))
+    vecs = np.array(vecs)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    brute = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(
+        emb, threshold=0.95, sign_bits=0).collect()}
+    banded = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(
+        emb, threshold=0.95, sign_bits=4, n_bands=4,
+        max_block=10_000).collect()}
+    assert len(brute) >= 100          # the fixture is genuinely pair-heavy
+    assert banded <= brute
+    recall = len(banded & brute) / len(brute)
+    assert recall >= 0.95, recall
+
+    # cap governance: with a tiny cap the op still runs, output remains a
+    # subset, and no surviving (band, key) bucket exceeded the cap --
+    # checked directly against the key construction
+    capped = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(
+        emb, threshold=0.95, sign_bits=4, n_bands=4,
+        max_block=20).collect()}
+    assert capped <= banded
+    from collections import Counter
+    sizes = Counter()
+    for v in vecs:
+        for k in range(4):
+            key = "".join("1" if x >= 0 else "0"
+                          for x in v[k * 4:(k + 1) * 4])
+            sizes[(k, key)] += 1
+    kept = {b for b, n in sizes.items() if n <= 20}
+    # every capped pair must share at least one SURVIVING bucket
+    for ia, ib in capped:
+        shared = False
+        for k in range(4):
+            ka = "".join("1" if x >= 0 else "0"
+                         for x in vecs[ia][k * 4:(k + 1) * 4])
+            kb = "".join("1" if x >= 0 else "0"
+                         for x in vecs[ib][k * 4:(k + 1) * 4])
+            if ka == kb and (k, ka) in kept:
+                shared = True
+        assert shared, (ia, ib)
+
+
 def test_media_pipeline_plumbing(spark, corpus_spark):
     from wdel_spark.functions.media import (
         media_table_from_documents,

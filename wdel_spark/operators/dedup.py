@@ -306,13 +306,31 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     sign_bits: int = 0,
+    n_bands: int = 1,
+    max_block: int = 100_000,
 ) -> DataFrame:
     """Pairs of vectors with cosine >= threshold.
 
-    ``sign_bits`` > 0 blocks by the sign pattern of the first k dimensions
-    (cheap deterministic LSH — vectors in the same orthant; near-identical
-    vectors almost surely share it) so the self-join is per-block instead
-    of full cross.  0 = exact brute force (small inputs / verification)."""
+    ``sign_bits`` = 0: exact brute force (small inputs / verification).
+
+    ``sign_bits`` = r with ``n_bands`` = b: band-OR sign-bit LSH — band k
+    keys on the sign pattern of dimensions [k*r, (k+1)*r); a pair is a
+    candidate when it shares ≥1 band key, then exact cosine verifies.
+    This addresses both r1/r2 scale caveats of the single-orthant scheme:
+
+      recall   — a near-dup pair straddling a sign boundary in one band
+                 still collides in the others (miss prob (1-p^r)^b for
+                 per-dim sign-agreement p; r=4, b=4, p=0.99 -> ~2e-6);
+      skew     — ``max_block`` drops (band, key) buckets larger than the
+                 cap (hot orthants, e.g. all-positive after ReLU-style
+                 encoders), bounding every self-join block; the drop is
+                 countable by the caller exactly like the MinHash bucket
+                 cap.
+
+    Candidates dedupe to slim (id_a, id_b) BEFORE vectors re-attach via
+    two hash joins, so the band explode never carries vector payloads
+    through the shuffle.  Knobs: more bands -> recall, larger r ->
+    selectivity, ``max_block`` -> worst-case join cost."""
     vec_d = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(
         F.transform(vec_d, lambda x: x * x),
@@ -320,27 +338,55 @@ def embedding_neardup_pairs(
     base = emb.select(
         F.col(id_col).alias("id"), vec_d.alias("v"),
         norm.alias("nrm"))
-    if sign_bits > 0:
-        key = F.concat_ws(
-            "",
-            F.transform(
-                F.slice(F.col("v"), 1, sign_bits),
-                lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
-            ),
+
+    def _cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(F.col(f"{a}.v"), F.col(f"{b}.v"),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        return dot / (F.col(f"{a}.nrm") * F.col(f"{b}.nrm"))
+
+    if sign_bits <= 0:
+        a, b = base.alias("a"), base.alias("b")
+        return (
+            a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.round(_cos("a", "b"), 6).alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold)
         )
-        base = base.withColumn("blk", key)
-        cond = (F.col("a.blk") == F.col("b.blk")) & (
-            F.col("a.id") < F.col("b.id"))
-    else:
-        cond = F.col("a.id") < F.col("b.id")
-    a, b = base.alias("a"), base.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0), lambda acc, x: acc + x)
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+
+    def band_key(k: int) -> Column:
+        return F.concat_ws("", F.transform(
+            F.slice(F.col("v"), k * sign_bits + 1, sign_bits),
+            lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ))
+
+    from pyspark.sql import Window as _W
+    keys = base.select(
+        "id",
+        F.posexplode(F.array(*[band_key(k) for k in range(n_bands)]))
+        .alias("band", "key"),
+    )
+    sized = (
+        keys.withColumn(
+            "bs", F.count("*").over(_W.partitionBy("band", "key")))
+        .where(F.col("bs") <= max_block)
+        .drop("bs")
+    )
+    ka, kb = sized.alias("ka"), sized.alias("kb")
+    cand = (
+        ka.join(kb, (F.col("ka.band") == F.col("kb.band"))
+                & (F.col("ka.key") == F.col("kb.key"))
+                & (F.col("ka.id") < F.col("kb.id")))
+        .select(F.col("ka.id").alias("id_a"), F.col("kb.id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), "v", "nrm").alias("a")
+    vb = base.select(F.col("id").alias("id_b"), "v", "nrm").alias("b")
     return (
-        a.join(b, cond)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.round(cos, 6).alias("cos_sim"))
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b",
+                F.round(_cos("a", "b"), 6).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )

@@ -772,6 +772,49 @@ WHERE ROUND(list_dot_product(a.v, b.v) /
 """
 
 
+def q_embedding_neardup_banded(spark, sf_dir):
+    """The SCALE path of embedding near-dup: band-OR sign-bit LSH (4
+    bands x 4 sign bits) with a hard per-bucket cap, exact-cosine
+    verified — fully restated in SQL (band keys, cap via QUALIFY,
+    candidate self-join, cosine check), so the r2 'weak at 100 TB'
+    blocking path is now itself oracle-checked rather than only
+    subset-tested against brute force."""
+    from wdel_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.35,
+        sign_bits=4, n_bands=4, max_block=40)
+
+
+ORACLE_EMB_NEARDUP_BANDED = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), keys AS (
+  SELECT vec_id, bd.band AS band,
+         array_to_string(
+           [CASE WHEN v[bd.band*4 + j] >= 0 THEN '1' ELSE '0' END
+            for j in [1, 2, 3, 4]], '') AS key
+  FROM e, (SELECT unnest([0, 1, 2, 3]) AS band) bd
+  QUALIFY COUNT(*) OVER (PARTITION BY band, key) <= 40
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keys a JOIN keys b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       ROUND(list_dot_product(x.v, y.v) /
+             (sqrt(list_dot_product(x.v, x.v)) *
+              sqrt(list_dot_product(y.v, y.v))), 6) AS cos_sim
+FROM cand
+JOIN e x ON x.vec_id = id_a
+JOIN e y ON y.vec_id = id_b
+WHERE ROUND(list_dot_product(x.v, y.v) /
+            (sqrt(list_dot_product(x.v, x.v)) *
+             sqrt(list_dot_product(y.v, y.v))), 6) >= 0.35
+"""
+
+
 def q_simhash_neardup(spark, sf_dir):
     """SimHash near-dup pairs — Arrow-batched 64-bit simhash kernel +
     16-bit band blocking.  Fully oracle-checked: the gram hash is a
@@ -1151,6 +1194,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "minhash_lsh_neardup": (q_minhash_lsh_neardup, ORACLE_MINHASH),
     "ngram_jaccard_neardup": (q_ngram_jaccard_neardup, ORACLE_NGRAM_JACCARD),
     "embedding_neardup": (q_embedding_neardup, ORACLE_EMB_NEARDUP),
+    "embedding_neardup_banded": (q_embedding_neardup_banded,
+                                 ORACLE_EMB_NEARDUP_BANDED),
     "simhash_neardup": (q_simhash_neardup, ORACLE_SIMHASH),
     "grouped_renest": (q_grouped_renest, ORACLE_GROUPED_RENEST),
     "entity_hydrate_nested": (q_entity_hydrate_nested, ORACLE_ENTITY_HYDRATE),
