@@ -91,3 +91,31 @@ def test_snapshot_invalidated_by_input_change(spark, corpus_spark, tmp_path):
     n2 = res2["counters"]["mentions_extracted"]
     assert n2 < n1, (n1, n2)  # stale reuse would return n1 unchanged
     assert res2["counters"]["span_invariant_violations"] == 0
+
+
+def test_stored_corpus_runner_durable_resume(spark, tmp_path):
+    """run_er_from_parquet(workdir=...) must run through the snapshot
+    layer: stage manifests land on disk, and a kill between stages
+    (simulated by invalidating later manifests) resumes to an identical
+    cluster table (r2 VERDICT #8 — the measured stored-corpus runner
+    previously bypassed the fault-tolerant path)."""
+    from wdel_spark.entry_pipeline import (
+        materialize_corpus, run_er_from_parquet)
+
+    cd = str(tmp_path / "corpus")
+    wd = str(tmp_path / "wd")
+    materialize_corpus(spark, n_docs=120, n_entities=40, out_dir=cd,
+                       n_partitions=4)
+    c1 = run_er_from_parquet(spark, cd, workdir=wd).toPandas().sort_values(
+        ["doc_id", "span_idx"]).reset_index(drop=True)
+    for stage in ("s1_mentions", "s2_pair_sigs", "s4_sig_scores",
+                  "s5_ranked", "s6_clusters"):
+        m = read_manifest(os.path.join(wd, stage))
+        assert m is not None and m["complete"], stage
+
+    # kill-after-S2: later stages lose their manifests, S1/S2 survive
+    for stage in ("s4_sig_scores", "s5_ranked", "s6_clusters"):
+        os.remove(os.path.join(wd, stage, "_manifest.json"))
+    c2 = run_er_from_parquet(spark, cd, workdir=wd).toPandas().sort_values(
+        ["doc_id", "span_idx"]).reset_index(drop=True)
+    assert c1.equals(c2)
