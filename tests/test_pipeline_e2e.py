@@ -175,3 +175,23 @@ def test_cg_recall_at_k_vs_gold(spark_result, oracle_result):
     assert recall[1] >= 0.95, recall
     assert recall[10] >= recall[5] >= recall[1]
     assert recall[10] >= 0.97, recall
+
+
+def test_id_slim_runner_matches_string_path(spark, tmp_path):
+    """The scale runner's id-slim plan (rank per signature -> fan out on
+    64-bit ids) must produce the same cluster table as the string-keyed
+    snapshot runner — pins the r3 shuffle-slimming refactor to the
+    oracle-checked semantics."""
+    from wdel_spark.entry_pipeline import (
+        materialize_corpus, run_er_from_parquet)
+
+    cd = str(tmp_path / "corpus_ids")
+    materialize_corpus(spark, n_docs=150, n_entities=40, out_dir=cd,
+                       n_partitions=4)
+    mem = run_er_from_parquet(spark, cd).toPandas().sort_values(
+        ["doc_id", "span_idx"]).reset_index(drop=True)
+    dur = run_er_from_parquet(
+        spark, cd, workdir=str(tmp_path / "wd_ids")).toPandas().sort_values(
+        ["doc_id", "span_idx"]).reset_index(drop=True)
+    assert len(mem) > 0
+    assert mem.equals(dur)

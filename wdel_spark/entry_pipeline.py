@@ -173,8 +173,8 @@ def er_ranked_over_testdata(
     recall@k metric (reference `utils/io.py:20-50`,
     `prediction.py:64-72`) evaluates."""
     from wdel_spark.plans.pipeline import (
-        candidate_signatures, score_pair_sigs, attach_sig_scores)
-    from wdel_spark.operators.topk import top_k_per_group
+        candidate_signatures, score_pair_sigs, attach_sig_scores,
+        rank_signature_scores)
 
     docs = _pin_mem(derive_spans_documents(spark, sf_dir))
     kb_aliases, entity_vectors = derive_vocab_kb(spark, docs)
@@ -183,11 +183,9 @@ def er_ranked_over_testdata(
     mentions = _pin_mem(extract_mentions(docs, with_vec=False))
     sig_scores = _pin_mem(score_pair_sigs(
         candidate_signatures(mentions, kb, params), kb))
-    cand_scores = attach_sig_scores(
-        mentions, sig_scores, sig_rows=sig_scores.count())
-    ranked = top_k_per_group(
-        cand_scores, ["doc_id", "span_idx"],
-        [F.desc("score"), F.asc("qid")], params.top_k)
+    ranked = attach_sig_scores(
+        mentions, rank_signature_scores(sig_scores, params),
+        sig_rows=sig_scores.count())
     return mentions, ranked
 
 
@@ -268,8 +266,8 @@ def run_er_from_parquet(
 
     from wdel_spark.plans.pipeline import (
         prepare_kb, candidate_signatures, score_pair_sigs,
-        attach_sig_scores, mention_node, entity_node, run_pipeline)
-    from wdel_spark.operators.topk import top_k_per_group
+        attach_ranked_ids, rank_signature_scores, entity_node,
+        run_pipeline)
 
     rd = lambda n: spark.read.parquet(_os.path.join(corpus_dir, n))
     if workdir is not None:
@@ -288,21 +286,21 @@ def run_er_from_parquet(
     # stage per consumer (concurrent block-store allocation pressure)
     mentions = extract_mentions(rd("documents"), with_vec=False)
     # sig_scores is signature-granular (tiny); checkpoint it and pass the
-    # exact count so attach_sig_scores' auto strategy can pick broadcast —
-    # the unknown-size fallback sort-merge join shuffles EVERY mention
+    # exact count so the attach auto strategy can pick broadcast — the
+    # unknown-size fallback sort-merge join shuffles EVERY mention
     # occurrence (~the whole corpus) for nothing
     sig_scores = score_pair_sigs(
         candidate_signatures(mentions, kb, params), kb).localCheckpoint(
         eager=True)
-    cand_scores = attach_sig_scores(
-        mentions, sig_scores, sig_rows=sig_scores.count())
-    ranked = top_k_per_group(
-        cand_scores, ["doc_id", "span_idx"],
-        [F.desc("score"), F.asc("qid")], params.top_k)
-    edges = ranked.where(
+    # rank per signature, fan out on 64-bit ids: no per-occurrence window
+    # shuffle, no wide strings through the fan-out (r2 VERDICT #1c)
+    ranked_ids = attach_ranked_ids(
+        mentions, rank_signature_scores(sig_scores, params),
+        sig_rows=sig_scores.count())
+    edges = ranked_ids.where(
         (F.col("rank") == 1) & (F.col("score") >= params.score_threshold)
     ).select(
-        mention_node(F.col("doc_id"), F.col("span_idx")).alias("src"),
+        F.col("node").alias("src"),
         entity_node(F.col("qid")).alias("dst"),
     )
     return cluster_mentions(mentions, edges, params)
@@ -320,8 +318,7 @@ def run_er_synthetic(
     from wdel_spark.datagen import CorpusConfig, gen_corpus_spark
     from wdel_spark.plans.pipeline import (
         prepare_kb, candidate_signatures, score_pair_sigs,
-        attach_sig_scores)
-    from wdel_spark.operators.topk import top_k_per_group
+        attach_ranked_ids, rank_signature_scores, entity_node)
 
     npart = n_partitions or spark.sparkContext.defaultParallelism * 2
     cfg = CorpusConfig(n_docs=n_docs, n_entities=n_entities)
@@ -338,16 +335,13 @@ def run_er_synthetic(
     sig_scores = score_pair_sigs(
         candidate_signatures(mentions, kb, params), kb).localCheckpoint(
         eager=True)
-    cand_scores = attach_sig_scores(
-        mentions, sig_scores, sig_rows=sig_scores.count())
-    ranked = top_k_per_group(
-        cand_scores, ["doc_id", "span_idx"],
-        [F.desc("score"), F.asc("qid")], params.top_k)
-    from wdel_spark.plans.pipeline import mention_node, entity_node
-    edges = ranked.where(
+    ranked_ids = attach_ranked_ids(
+        mentions, rank_signature_scores(sig_scores, params),
+        sig_rows=sig_scores.count())
+    edges = ranked_ids.where(
         (F.col("rank") == 1) & (F.col("score") >= params.score_threshold)
     ).select(
-        mention_node(F.col("doc_id"), F.col("span_idx")).alias("src"),
+        F.col("node").alias("src"),
         entity_node(F.col("qid")).alias("dst"),
     )
     return cluster_mentions(mentions, edges, params)

@@ -386,6 +386,69 @@ def score_pair_sigs(pair_sigs: DataFrame, kb: DataFrame) -> DataFrame:
         F.max("score").alias("score"))
 
 
+def rank_signature_scores(
+    sig_scores: DataFrame, params: PipelineParams = PipelineParams()
+) -> DataFrame:
+    """Per-SIGNATURE top-k: (norm_mention, qid, score, rank).
+
+    A mention occurrence's candidate ranking depends only on its
+    normalized text — score and tie-break (score desc, qid asc) are pure
+    functions of the signature — so ranking BEFORE the occurrence fan-out
+    is semantics-identical to ranking after it, while the window shuffles
+    |signatures| x k rows instead of |occurrences| x |candidates| (the
+    single largest shuffle of the round-2 plan; r2 VERDICT #1c)."""
+    return top_k_per_group(
+        sig_scores, ["norm_mention"],
+        [F.desc("score"), F.asc("qid")], params.top_k)
+
+
+def _fanout_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    strategy: str,
+    build_rows: int | None,
+    broadcast_max_rows: int,
+    salt_mod: int,
+    hot_threshold: int,
+    probe_salt_cols: list[str],
+) -> DataFrame:
+    """Strategy-aware occurrence fan-out join (shared by the string- and
+    id-keyed attach paths).
+
+      broadcast — force a broadcast hash join (build side known small);
+      salted    — shuffle join with explicit hot-key salting
+                  (operators/skew.py): occurrences of one hot key
+                  otherwise all land in one partition;
+      shuffle   — plain shuffle join; AQE converts to broadcast or splits
+                  skew at runtime;
+      auto      — broadcast when ``build_rows`` is known and small enough;
+                  salted when known and larger; unhinted when unknown.
+
+    All strategies are semantics-preserving (tested identical)."""
+    if strategy == "auto":
+        if build_rows is None:
+            strategy = "shuffle"
+        elif build_rows <= broadcast_max_rows:
+            strategy = "broadcast"
+        else:
+            strategy = "salted"
+    if strategy == "broadcast":
+        return probe.join(F.broadcast(build), key)
+    if strategy == "salted":
+        return salted_join(
+            probe, build, key,
+            salt_mod=salt_mod,
+            hot_threshold=hot_threshold,
+            probe_salt_cols=probe_salt_cols,
+        )
+    if strategy == "shuffle":
+        return probe.join(build, key)
+    raise ValueError(
+        f"unknown attach strategy {strategy!r}; "
+        "expected auto|broadcast|salted|shuffle")
+
+
 def attach_sig_scores(
     mentions: DataFrame,
     sig_scores: DataFrame,
@@ -395,48 +458,55 @@ def attach_sig_scores(
     salt_mod: int = 16,
     hot_threshold: int = 1_000_000,
 ) -> DataFrame:
-    """Fan signature scores back out to mention occurrences.
+    """Fan signature scores (optionally pre-ranked — a ``rank`` column is
+    passed through) back out to mention occurrences by normalized text.
 
     At 100 TB the distinct-signature table can reach billions of rows —
-    unconditionally broadcasting it (the round-1 default) is impossible.
-    Strategies:
+    unconditionally broadcasting it (the round-1 default) is impossible;
+    see ``_fanout_join`` for the strategy ladder."""
+    joined = _fanout_join(
+        mentions, sig_scores, "norm_mention", strategy, sig_rows,
+        broadcast_max_rows, salt_mod, hot_threshold,
+        probe_salt_cols=["doc_id", "span_idx"])
+    cols = ["doc_id", "span_idx", "qid", "score"]
+    if "rank" in sig_scores.columns:
+        cols.append("rank")
+    return joined.select(*cols)
 
-      broadcast — force a broadcast hash join (signature table known
-                  small: ~alias-vocabulary-sized);
-      salted    — shuffle join on norm_mention with explicit hot-key
-                  salting (operators/skew.py): occurrences of one hot
-                  mention text otherwise all land in one partition;
-      shuffle   — plain shuffle join; AQE converts to broadcast or splits
-                  skew at runtime;
-      auto      — broadcast when ``sig_rows`` (pass the signature count
-                  the runner already computes for its lineage counters)
-                  is known and ≤ ``broadcast_max_rows``; salted when it's
-                  known and larger; unhinted (AQE decides) when unknown.
 
-    All strategies are semantics-preserving (tested identical)."""
-    if strategy == "auto":
-        if sig_rows is None:
-            strategy = "shuffle"
-        elif sig_rows <= broadcast_max_rows:
-            strategy = "broadcast"
-        else:
-            strategy = "salted"
-    if strategy == "broadcast":
-        joined = mentions.join(F.broadcast(sig_scores), "norm_mention")
-    elif strategy == "salted":
-        joined = salted_join(
-            mentions, sig_scores, "norm_mention",
-            salt_mod=salt_mod,
-            hot_threshold=hot_threshold,
-            probe_salt_cols=["doc_id", "span_idx"],
-        )
-    elif strategy == "shuffle":
-        joined = mentions.join(sig_scores, "norm_mention")
-    else:
-        raise ValueError(
-            f"unknown attach strategy {strategy!r}; "
-            "expected auto|broadcast|salted|shuffle")
-    return joined.select("doc_id", "span_idx", "qid", "score")
+def attach_ranked_ids(
+    mentions: DataFrame,
+    sig_ranked: DataFrame,
+    strategy: str = "auto",
+    sig_rows: int | None = None,
+    broadcast_max_rows: int = 10_000_000,
+    salt_mod: int = 16,
+    hot_threshold: int = 1_000_000,
+) -> DataFrame:
+    """ID-slim occurrence fan-out: (node, qid, score, rank).
+
+    Both join sides carry 64-bit hash ids instead of the wide strings
+    (r2 VERDICT #1c: shuffle bytes through the attach path were dominated
+    by doc_id/norm_mention text): the probe is (node, nm_id) at 16 B/row,
+    the build is (nm_id, qid, score, rank).  ``node`` is the mention node
+    id the clustering stage already joins on, so doc_id/span_idx re-attach
+    exactly once, at the end, from the mentions table.  At 10^12 mentions
+    the 64-bit nm_id expects rare collisions — the production variant
+    widens to a (hash_hi, hash_lo) composite, same plan shape."""
+    nm_id = lambda c: F.xxhash64(F.lit("nm"), c)
+    m = mentions.select(
+        mention_node(F.col("doc_id"), F.col("span_idx")).alias("node"),
+        nm_id(F.col("norm_mention")).alias("nm_id"),
+    )
+    s = sig_ranked.select(
+        nm_id(F.col("norm_mention")).alias("nm_id"),
+        "qid", "score", "rank",
+    )
+    joined = _fanout_join(
+        m, s, "nm_id", strategy, sig_rows,
+        broadcast_max_rows, salt_mod, hot_threshold,
+        probe_salt_cols=["node"])
+    return joined.select("node", "qid", "score", "rank")
 
 
 # ------------------------------------------------------- node id scheme
@@ -649,13 +719,14 @@ def run_pipeline(
         "s4_sig_scores", lambda: score_pair_sigs(sigs, kb),
         [stage_hash["s2_pair_sigs"]])
 
-    cand_scores = attach_sig_scores(
-        mentions, sig_scores, sig_rows=counters["pairs_scored"])
+    # rank at signature granularity, THEN fan out: identical rows to the
+    # old rank-after-attach (rank is occurrence-independent), but the
+    # window shuffles the tiny signature table, not every occurrence
     ranked, _ = stage(
         "s5_ranked",
-        lambda: top_k_per_group(
-            cand_scores, ["doc_id", "span_idx"],
-            [F.desc("score"), F.asc("qid")], params.top_k),
+        lambda: attach_sig_scores(
+            mentions, rank_signature_scores(sig_scores, params),
+            sig_rows=counters["pairs_scored"]),
         [stage_hash["s4_sig_scores"], stage_hash["s1_mentions"]])
     counters["candidates_generated"] = ranked.count()
 
