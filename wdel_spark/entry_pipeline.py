@@ -195,18 +195,17 @@ def er_over_testdata(
     params: PipelineParams = PipelineParams(),
 ) -> DataFrame:
     """Full ER pipeline over the derived corpus; returns the cluster table
-    (doc_id, span_idx, cluster_id, n_members ordered columns stable)."""
-    from wdel_spark.plans.pipeline import mention_node, entity_node
+    (doc_id, span_idx, cluster_id) via the granularity-laddered id plan
+    (cluster-identical to the string path — pinned by
+    test_id_slim_runner_matches_string_path and the er_cluster_partition
+    oracle)."""
+    from wdel_spark.plans.pipeline import er_ids_plan
 
-    mentions, ranked = er_ranked_over_testdata(spark, sf_dir, params)
-    edges = ranked.where(
-        (F.col("rank") == 1) & (F.col("score") >= params.score_threshold)
-    ).select(
-        mention_node(F.col("doc_id"), F.col("span_idx")).alias("src"),
-        entity_node(F.col("qid")).alias("dst"),
-    )
-    clusters = cluster_mentions(mentions, edges, params)
-    return clusters
+    docs = _pin_mem(derive_spans_documents(spark, sf_dir))
+    kb_aliases, entity_vectors = derive_vocab_kb(spark, docs)
+    kb = _pin_mem(kb_aliases.join(
+        entity_vectors.withColumnRenamed("vec", "e_vec"), "qid"))
+    return er_ids_plan(docs, kb, params, pin=_pin_mem)
 
 
 def entry_flagship(spark: SparkSession) -> DataFrame:
@@ -264,10 +263,7 @@ def run_er_from_parquet(
     ``workdir=None`` keeps the in-memory mode for benches."""
     import os as _os
 
-    from wdel_spark.plans.pipeline import (
-        prepare_kb, candidate_signatures, score_pair_sigs,
-        attach_ranked_ids, rank_signature_scores, entity_node,
-        run_pipeline)
+    from wdel_spark.plans.pipeline import prepare_kb, er_ids_plan, run_pipeline
 
     rd = lambda n: spark.read.parquet(_os.path.join(corpus_dir, n))
     if workdir is not None:
@@ -280,30 +276,10 @@ def run_er_from_parquet(
     kb = prepare_kb(rd("kb_aliases"), rd("entity_vectors"),
                     rd("redirects"), rd("wikimedia_filter")
                     ).localCheckpoint(eager=True)
-    # mentions: NO checkpoint — S1 is pure Catalyst over the parquet scan
-    # (sub-second at 1M docs), and materializing 8.75M rows to block
-    # storage burned >10x more CPU at local[32] than recomputing the
-    # stage per consumer (concurrent block-store allocation pressure)
-    mentions = extract_mentions(rd("documents"), with_vec=False)
-    # sig_scores is signature-granular (tiny); checkpoint it and pass the
-    # exact count so the attach auto strategy can pick broadcast — the
-    # unknown-size fallback sort-merge join shuffles EVERY mention
-    # occurrence (~the whole corpus) for nothing
-    sig_scores = score_pair_sigs(
-        candidate_signatures(mentions, kb, params), kb).localCheckpoint(
-        eager=True)
-    # rank per signature, fan out on 64-bit ids: no per-occurrence window
-    # shuffle, no wide strings through the fan-out (r2 VERDICT #1c)
-    ranked_ids = attach_ranked_ids(
-        mentions, rank_signature_scores(sig_scores, params),
-        sig_rows=sig_scores.count())
-    edges = ranked_ids.where(
-        (F.col("rank") == 1) & (F.col("score") >= params.score_threshold)
-    ).select(
-        F.col("node").alias("src"),
-        entity_node(F.col("qid")).alias("dst"),
-    )
-    return cluster_mentions(mentions, edges, params)
+    # the granularity-laddered id plan: normalize on distinct raw texts,
+    # block-key on distinct norms, strings never in a per-occurrence
+    # shuffle (see er_ids_plan docstring for the measured rationale)
+    return er_ids_plan(rd("documents"), kb, params)
 
 
 def run_er_synthetic(
@@ -316,9 +292,7 @@ def run_er_synthetic(
     """The real ER workload (synthetic interleaved corpus + KB) as one lazy
     plan without counter actions — the scaling-bench job."""
     from wdel_spark.datagen import CorpusConfig, gen_corpus_spark
-    from wdel_spark.plans.pipeline import (
-        prepare_kb, candidate_signatures, score_pair_sigs,
-        attach_ranked_ids, rank_signature_scores, entity_node)
+    from wdel_spark.plans.pipeline import prepare_kb, er_ids_plan
 
     npart = n_partitions or spark.sparkContext.defaultParallelism * 2
     cfg = CorpusConfig(n_docs=n_docs, n_entities=n_entities)
@@ -327,21 +301,4 @@ def run_er_synthetic(
     # re-evaluate the generation subplan; materialize it once
     kb = prepare_kb(t["kb_aliases"], t["entity_vectors"], t["redirects"],
                     t["wikimedia_filter"]).localCheckpoint(eager=True)
-    # S1 is consumed by both the candidate branch and the final cluster
-    # join — materialize once (the snapshot layer does this in the
-    # checkpointed runner; localCheckpoint is its in-memory analog)
-    mentions = extract_mentions(t["documents"], with_vec=False
-                                ).localCheckpoint(eager=True)
-    sig_scores = score_pair_sigs(
-        candidate_signatures(mentions, kb, params), kb).localCheckpoint(
-        eager=True)
-    ranked_ids = attach_ranked_ids(
-        mentions, rank_signature_scores(sig_scores, params),
-        sig_rows=sig_scores.count())
-    edges = ranked_ids.where(
-        (F.col("rank") == 1) & (F.col("score") >= params.score_threshold)
-    ).select(
-        F.col("node").alias("src"),
-        entity_node(F.col("qid")).alias("dst"),
-    )
-    return cluster_mentions(mentions, edges, params)
+    return er_ids_plan(t["documents"], kb, params)

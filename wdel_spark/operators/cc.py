@@ -83,20 +83,30 @@ def _fingerprint(edges: DataFrame) -> tuple:
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 25,
+    emit_isolated: bool = True,
 ) -> DataFrame:
     """Edges ``(src:long, dst:long)`` -> ``(node:long, component:long)``.
 
     ``component`` = minimum node id in the component (deterministic label).
-    Nodes appearing only in self-loops / isolated still get a row."""
+    Nodes appearing only in self-loops / isolated still get a row.
+
+    ``emit_isolated=False`` is a caller assertion that every node it cares
+    about has a non-self-loop edge (true for assignment graphs where each
+    kept mention has exactly one entity edge) OR that the caller coalesces
+    missing nodes itself (``coalesce(component, node)`` after a left
+    join, as the cluster stages do).  It skips the node-set
+    union+distinct+left-join — three shuffles over 2x the edge count."""
     # materialize the input ONCE: both the node set and the canonical edge
     # set derive from it — without this the (possibly expensive) upstream
     # plan would execute once per branch
     e0 = edges.select("src", "dst").localCheckpoint(eager=True)
-    nodes = (
-        e0.select(F.col("src").alias("node"))
-        .union(e0.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    nodes = None
+    if emit_isolated:
+        nodes = (
+            e0.select(F.col("src").alias("node"))
+            .union(e0.select(F.col("dst").alias("node")))
+            .distinct()
+        )
     e = _canonical(e0).localCheckpoint(eager=True)
     prev_fp = _fingerprint(e)
     for _ in range(max_iterations):
@@ -114,6 +124,8 @@ def connected_components(
         .groupBy("node")
         .agg(F.min("component").alias("component"))
     )
+    if nodes is None:
+        return comp
     return (
         nodes.join(comp, "node", "left")
         .select("node", F.coalesce("component", "node").alias("component"))

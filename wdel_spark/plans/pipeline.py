@@ -533,6 +533,101 @@ def mention_node(doc_id_col, span_idx_col) -> F.Column:
     ) + F.lit(_NODE_SPACE)
 
 
+# ----------------------------------------------- id-granular scale plan
+
+def er_ids_plan(
+    documents: DataFrame,
+    kb: DataFrame,
+    params: PipelineParams = PipelineParams(),
+    pin=lambda df: df.localCheckpoint(eager=True),
+) -> DataFrame:
+    """The 100-TB-shaped ER plan: every per-occurrence computation that is
+    really a function of the mention TEXT runs at the coarsest granularity
+    that preserves semantics.
+
+    Round-2's plan normalized and blocking-keyed every occurrence (8.75M
+    rows at the 1M-doc bench) and re-scanned + re-exploded the documents
+    parquet once per consumer; the SQL-metrics profile showed that single
+    fused scan->explode->normalize->block_key->distinct pipeline costing
+    ~1,260 of the job's ~2,900 task-seconds.  Granularity ladder here:
+
+      occurrences (8.75M): explode + xxhash64 ids ONLY — pinned once as
+          (doc_id, span_idx, node, raw_id, raw);
+      distinct raw texts (~1M): normalize (translate + phrase fixups +
+          regex folds) runs here, ~9x less text than per-occurrence;
+      distinct normalized texts (~0.8M): block_key (split + array_sort)
+          and the blocking join run here;
+      signatures x candidates: scoring (the python stage) and top-k.
+
+    Everything fans back out through 64-bit-id hash joins; strings never
+    enter a per-occurrence shuffle.  ``pin`` materializes the two
+    multi-consumer frames (occurrences, ranked sigs chain inputs) —
+    localCheckpoint for benches, snapshots for the durable runner."""
+    spans = (
+        documents.select(
+            "doc_id", F.posexplode("spans").alias("span_idx", "span"))
+        .where(F.col("span.kind") == "mention")
+        .select("doc_id", "span_idx", F.col("span.text").alias("raw"))
+    )
+    occ = pin(spans.select(
+        "doc_id", "span_idx",
+        mention_node(F.col("doc_id"), F.col("span_idx")).alias("node"),
+        F.xxhash64(F.lit("raw"), "raw").alias("raw_id"),
+        "raw",
+    ))
+    # normalize at distinct-RAW granularity; key at distinct-NORM
+    raws = pin(
+        occ.select("raw").distinct()
+        .select(
+            F.xxhash64(F.lit("raw"), "raw").alias("raw_id"),
+            normalize_col(F.col("raw")).alias("norm_mention"),
+        )
+        .withColumn("nm_id", F.xxhash64(F.lit("nm"), "norm_mention"))
+    )
+    norms = (
+        raws.select("norm_mention").distinct()
+        .withColumn("block_key", block_key_col(F.col("norm_mention")))
+    )
+    sig_scores = pin(score_pair_sigs(
+        candidate_signatures(norms, kb, params), kb))
+    sig_ranked = rank_signature_scores(sig_scores, params)
+    # compose (nm_id -> ranked candidates) with (raw_id -> nm_id), then
+    # fan out to occurrences on raw_id — both joins strategy-aware
+    n_sigs = sig_scores.count()
+    raw_ranked = _fanout_join(
+        raws.select("raw_id", "nm_id"),
+        sig_ranked.select(
+            F.xxhash64(F.lit("nm"), "norm_mention").alias("nm_id"),
+            "qid", "score", "rank"),
+        "nm_id", "auto", n_sigs, 10_000_000, 16, 1_000_000,
+        probe_salt_cols=["raw_id"],
+    ).select("raw_id", "qid", "score", "rank")
+    ranked_ids = _fanout_join(
+        occ.select("node", "raw_id"), raw_ranked,
+        "raw_id", "auto", n_sigs * 2, 10_000_000, 16, 1_000_000,
+        probe_salt_cols=["node"],
+    )
+    edges = ranked_ids.where(
+        (F.col("rank") == 1) & (F.col("score") >= params.score_threshold)
+    ).select(
+        F.col("node").alias("src"),
+        entity_node(F.col("qid")).alias("dst"),
+    )
+    # emit_isolated=False: the left join + coalesce below already labels
+    # unmatched mentions as singletons, so CC's own isolated-node pass
+    # (three shuffles over 2x the edges) is redundant here
+    comps = connected_components(
+        edges, params.cc_max_iterations, emit_isolated=False)
+    return (
+        occ.select("doc_id", "span_idx", "node")
+        .join(comps, "node", "left")
+        .select(
+            "doc_id", "span_idx",
+            F.coalesce("component", "node").alias("cluster_id"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ S5
 
 def rank_and_edges(
