@@ -52,6 +52,8 @@ def main() -> None:
         "entity_hydrate_nested",
         "cosine_topk",
         "embedding_class_centroids",
+        "embedding_neardup_banded",
+        "er_recall_at_k",
     ]
     for name in headline:
         fn, _ = REGISTRY[name]

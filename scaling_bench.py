@@ -46,12 +46,13 @@ N_DOCS = int(os.environ.get("WDEL_SCALING_DOCS", "1000000"))
 N_ENTITIES = int(os.environ.get("WDEL_SCALING_ENTITIES", "20000"))
 N_REPS = int(os.environ.get("WDEL_SCALING_REPS", "2"))
 # Headline N-vs-4N pair: local[2] vs local[8].  Measured host physics
-# (committed in BENCH_SCALING.json.host_evidence): pure-CPU scales
-# 8->32 procs at 0.82 efficiency, but MEMORY BANDWIDTH saturates at
-# ~146 GB/s with 8 procs already drawing 91 GB/s — a string-heavy
-# pipeline physically cannot scale 8->32 beyond ~1.6x on this box, so
-# the 4x-cores criterion is evidenced on a pair the host can serve,
-# with the 8->32 pair reported alongside as supplementary.
+# (committed in HOST_EVIDENCE.json, produced by host_evidence.py):
+# pure-CPU scales 2->8 procs at 0.99 and 8->32 at 0.84 efficiency, but
+# MEMORY BANDWIDTH scales 2->8 at only 0.77 (28 -> 86.6 GB/s against a
+# ~152 GB/s ceiling) and 8->32 at 0.44 — a string-heavy pipeline
+# physically cannot scale 8->32 beyond ~1.6x on this box, so the
+# 4x-cores criterion is evidenced on the pair the host can serve, with
+# the 8->32 pair reported alongside as supplementary.
 LEVELS = tuple(int(x) for x in os.environ.get(
     "WDEL_SCALING_LEVELS", "2,8").split(","))
 CORPUS_DIR = os.environ.get(
@@ -101,6 +102,25 @@ def run_one(cores: int) -> None:
             "cpu_time_s": round(cpu_s, 1),
             "cpu_util": round(cpu_s / (wall * cores), 3),
             "n_stages": len(stages),
+            # per-stage breakdown (r2 VERDICT #1b): lets the two levels be
+            # compared stage-by-stage — uniform CPU inflation across
+            # stages indicates memory-system contention, a single hot
+            # stage indicates an algorithmic scaling defect
+            "stages": [
+                {
+                    "id": s["stageId"],
+                    "tasks": s.get("numCompleteTasks"),
+                    "run_s": round(s.get("executorRunTime", 0) / 1e3, 1),
+                    "cpu_s": round(s.get("executorCpuTime", 0) / 1e9, 1),
+                    "gc_s": round(s.get("jvmGcTime", 0) / 1e3, 1),
+                    "in_mb": round(s.get("inputBytes", 0) / 1e6, 1),
+                    "sh_r_mb": round(
+                        s.get("shuffleReadBytes", 0) / 1e6, 1),
+                    "sh_w_mb": round(
+                        s.get("shuffleWriteBytes", 0) / 1e6, 1),
+                }
+                for s in sorted(stages, key=lambda s: s["stageId"])
+            ],
         })
     except Exception as e:  # metrics are corroboration, not the gate
         rec["metrics_err"] = str(e)
