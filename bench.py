@@ -29,6 +29,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # JIT warm-up on a small same-shape job (same protocol as
+    # scaling_bench.py): the first execution of a plan shape on this host
+    # pays a multi-second C2-compilation storm that would otherwise be
+    # billed to the flagship number
+    er_over_testdata(spark, "/root/testdata/sf0.001").count()
+    spark.catalog.clearCache()
+
     # flagship: full ER pipeline (blocking + scoring + CC clustering)
     t0 = time.perf_counter()
     clusters = er_over_testdata(spark, sf_dir)

@@ -195,3 +195,41 @@ def test_id_slim_runner_matches_string_path(spark, tmp_path):
         ["doc_id", "span_idx"]).reset_index(drop=True)
     assert len(mem) > 0
     assert mem.equals(dur)
+
+
+def test_fanout_join_strategies_agree_on_ids(spark, corpus_spark):
+    """The id-keyed fan-out (er_ids_plan's occurrence attach) must be
+    semantics-identical under broadcast / salted / shuffle, like the
+    string-keyed attach already is."""
+    from wdel_spark.plans.pipeline import (
+        _fanout_join, prepare_kb, er_ids_plan)
+    import pyspark.sql.functions as F
+
+    kb = prepare_kb(
+        corpus_spark["kb_aliases"], corpus_spark["entity_vectors"],
+        corpus_spark.get("redirects"), corpus_spark.get("wikimedia_filter"))
+    docs = corpus_spark["documents"]
+    spans = (
+        docs.select("doc_id", F.posexplode("spans").alias("span_idx", "s"))
+        .where(F.col("s.kind") == "mention")
+        .select("doc_id", F.col("s.text").alias("raw"))
+    )
+    probe = spans.select(
+        F.xxhash64(F.lit("raw"), "raw").alias("raw_id"), "doc_id")
+    build = (
+        spans.select("raw").distinct()
+        .select(F.xxhash64(F.lit("raw"), "raw").alias("raw_id"),
+                F.length("raw").alias("payload"))
+    )
+    outs = {}
+    for strategy in ("broadcast", "salted", "shuffle"):
+        df = _fanout_join(
+            probe, build, "raw_id", strategy, None, 10_000_000, 4, 2,
+            probe_salt_cols=["doc_id"])
+        outs[strategy] = (
+            df.groupBy("raw_id").agg(
+                F.count("*").alias("n"), F.max("payload").alias("p"))
+            .toPandas().sort_values("raw_id").reset_index(drop=True)
+        )
+    assert outs["broadcast"].equals(outs["salted"])
+    assert outs["broadcast"].equals(outs["shuffle"])
