@@ -592,19 +592,22 @@ def er_ids_plan(
         candidate_signatures(norms, kb, params), kb))
     sig_ranked = rank_signature_scores(sig_scores, params)
     # compose (nm_id -> ranked candidates) with (raw_id -> nm_id), then
-    # fan out to occurrences on raw_id — both joins strategy-aware
+    # fan out to occurrences on raw_id — both joins strategy-aware with
+    # EXACT build-side counts (the compose result is pinned, so its count
+    # is a free cached pass, and the occurrence fan-out picks
+    # broadcast/salted on real numbers instead of a guess)
     n_sigs = sig_scores.count()
-    raw_ranked = _fanout_join(
+    raw_ranked = pin(_fanout_join(
         raws.select("raw_id", "nm_id"),
         sig_ranked.select(
             F.xxhash64(F.lit("nm"), "norm_mention").alias("nm_id"),
             "qid", "score", "rank"),
         "nm_id", "auto", n_sigs, 10_000_000, 16, 1_000_000,
         probe_salt_cols=["raw_id"],
-    ).select("raw_id", "qid", "score", "rank")
+    ).select("raw_id", "qid", "score", "rank"))
     ranked_ids = _fanout_join(
         occ.select("node", "raw_id"), raw_ranked,
-        "raw_id", "auto", n_sigs * 2, 10_000_000, 16, 1_000_000,
+        "raw_id", "auto", raw_ranked.count(), 10_000_000, 16, 1_000_000,
         probe_salt_cols=["node"],
     )
     edges = ranked_ids.where(
