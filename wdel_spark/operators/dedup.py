@@ -37,25 +37,51 @@ def char_shingles(text_col: str | Column, n: int = 5) -> Column:
     )
 
 
-def minhash_signature(text_col: str | Column, n_bands: int = 4,
-                      shingle_n: int = 5) -> list[Column]:
-    """Per-band minhash = lexicographic min of md5(band || shingle).
+def minhash_band_rows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 4,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """(doc, band, mh) rows: per-band minhash = lexicographic min of a
+    32-bit slice of md5(shingle), with the digest computed ONCE per
+    shingle.
 
-    md5-as-permutation is a standard trick: each band prefix induces an
-    independent pseudo-permutation of the shingle space; the min over a
-    document's shingles is the MinHash.  String mins are deterministic and
-    portable to any SQL engine."""
-    sh = char_shingles(text_col, shingle_n)
+    Band b keys on hex digits [8b, 8b+8) of the digest — a 128-bit
+    hash's disjoint 32-bit slices are independent uniform functions of
+    the shingle (the standard way to derive many MinHash permutations
+    from one strong hash).  This is 4x fewer digest computations than the
+    r3 per-band ``md5(band || shingle)`` scheme (r3 VERDICT next-round
+    #4; the suggested Spark ``xxhash64`` is cheaper still but NOT
+    restatable in DuckDB — its ``hash()`` is a different function — so
+    the oracle-checkable md5 slice wins) while staying exactly portable:
+    ``MIN(SUBSTRING(MD5(s), 8*band+1, 8))``.  Fixed-width lowercase hex
+    means lexicographic min == numeric min.
 
-    def band_min(b: int) -> Column:
-        # NB: a one-arg lambda is required — a second (defaulted) parameter
-        # would make pyspark pass the array index into it
-        prefix = F.lit(str(b))
-        return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(prefix, s)))
-        ).alias(f"mh_{b}")
+    Two-step projection: the per-shingle digest array is an aliased
+    intermediate, so the four band-slice mins reference it instead of
+    re-hashing (Catalyst's CollapseProject keeps a non-cheap alias
+    referenced >1x materialized rather than inlining it 4x).  Bands >= 4
+    (beyond the digest's 32-bit slices) re-hash with a band prefix."""
+    digs = F.transform(char_shingles(text_col, shingle_n),
+                       lambda s: F.md5(s))
+    staged = docs.select(F.col(id_col).alias("doc"), digs.alias("digs"))
 
-    return [band_min(b) for b in range(n_bands)]
+    # factories keep the transform lambdas one-arg (see band_min's NB)
+    def _slice(b: int) -> Column:
+        return F.array_min(F.transform(
+            F.col("digs"), lambda d: F.substring(d, 8 * b + 1, 8)))
+
+    def _rehash(b: int) -> Column:
+        return F.array_min(F.transform(
+            F.col("digs"), lambda d: F.md5(F.concat(F.lit(str(b)), d))))
+
+    mins = [_slice(b) if b < 4 else _rehash(b) for b in range(n_bands)]
+    return staged.select(
+        "doc",
+        F.posexplode(F.array(*mins)).alias("band", "mh"),
+    )
 
 
 def minhash_lsh_pairs(
@@ -71,16 +97,11 @@ def minhash_lsh_pairs(
     Output: (doc_a, doc_b, n_shared_bands) with doc_a < doc_b.
     Buckets larger than ``max_bucket`` are dropped (promiscuous shingles,
     e.g. boilerplate) — the count is the caller's lineage counter."""
-    sigs = docs.select(F.col(id_col).alias("doc"),
-                       *minhash_signature(text_col, n_bands, shingle_n))
-    # one pass over the signatures: posexplode into (band, mh) rows instead
-    # of N unioned selects (a union re-evaluates the signature subtree once
-    # per branch — and the self-join doubles it again)
-    bands = sigs.select(
-        "doc",
-        F.posexplode(F.array(*[F.col(f"mh_{b}") for b in range(n_bands)]))
-        .alias("band", "mh"),
-    )
+    # one pass over the shingle digests (ONE md5 per shingle; see
+    # minhash_band_rows), posexploded into (band, mh) rows instead of N
+    # unioned selects (a union re-evaluates the signature subtree once per
+    # branch — and the self-join doubles it again)
+    bands = minhash_band_rows(docs, id_col, text_col, n_bands, shingle_n)
     # prune huge buckets before the self-join explodes; window avoids the
     # second scan + join a groupBy would need
     from pyspark.sql import Window as _W
@@ -98,9 +119,10 @@ def minhash_lsh_pairs(
                & (F.col("a.mh") == F.col("b.mh"))
                & (F.col("a.doc") < F.col("b.doc")))
         .select(F.col("a.doc").alias("doc_a"),
-                F.col("b.doc").alias("doc_b"),
-                F.col("a.band").alias("band"))
-        .distinct()
+                F.col("b.doc").alias("doc_b"))
+        # no distinct needed: each doc carries exactly ONE mh per band, so
+        # the equi-join yields at most one row per (pair, band) — counting
+        # rows IS counting shared bands (one shuffle saved)
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_shared_bands"))
     )

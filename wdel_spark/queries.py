@@ -673,7 +673,8 @@ FROM cent GROUP BY label
 
 def q_minhash_lsh_neardup(spark, sf_dir):
     """MinHash+LSH near-duplicate candidate pairs (4 bands, 5-gram
-    shingles, md5-as-permutation — portable to the SQL oracle)."""
+    shingles; band = 32-bit slice of one md5 per shingle — portable to
+    the SQL oracle)."""
     from wdel_spark.operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000).select(
@@ -688,7 +689,8 @@ WITH sh AS (
                                i -> SUBSTRING(text, i, 5))) AS s
   FROM documents WHERE doc_id < 1000),
 mh AS (
-  SELECT doc, band, MIN(MD5(CAST(band AS VARCHAR) || s)) AS mh
+  SELECT doc, band, MIN(SUBSTRING(MD5(s), CAST(8 * band + 1 AS INTEGER), 8))
+             AS mh
   FROM sh, (SELECT unnest(range(4)) AS band)
   GROUP BY doc, band),
 sized AS (
@@ -721,7 +723,8 @@ WITH sh AS (
                                i -> SUBSTRING(text, i, 5))) AS s
   FROM documents WHERE doc_id < 1000),
 mh AS (
-  SELECT doc, band, MIN(MD5(CAST(band AS VARCHAR) || s)) AS mh
+  SELECT doc, band, MIN(SUBSTRING(MD5(s), CAST(8 * band + 1 AS INTEGER), 8))
+             AS mh
   FROM sh, (SELECT unnest(range(4)) AS band)
   GROUP BY doc, band),
 sized AS (
@@ -1047,8 +1050,11 @@ LEFT JOIN p279 ON p279.qid = 'Q' || n_nationkey
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: media spans -> binary payload table ->
-    Arrow-batched feature extraction (decode stubbed; schema/batching
-    real).  Weak check (binary + python kernel)."""
+    Arrow-batched feature extraction.  The decode step is stubbed (no
+    codecs in this container) with deterministic byte algebra — payload =
+    utf-8 of md5(media_ref), features = md5(payload) hex fields — which
+    DuckDB states exactly, so even the stubbed path carries a full
+    hash-exact oracle (r3 VERDICT next-round #3)."""
     from wdel_spark.entry_pipeline import derive_spans_documents
     from wdel_spark.functions.media import (
         media_table_from_documents,
@@ -1057,6 +1063,31 @@ def q_media_features(spark, sf_dir):
 
     docs = derive_spans_documents(spark, sf_dir)
     return extract_media_features(media_table_from_documents(docs))
+
+
+ORACLE_MEDIA_FEATURES = """
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         generate_subscripts(string_split_regex(text, ' +'), 1) - 1 AS pos
+  FROM documents),
+media AS (
+  SELECT doc_id, pos,
+         'img://' || doc_id || '/' || CAST(pos AS VARCHAR) AS media_ref
+  FROM toks
+  WHERE SUBSTRING(MD5(doc_id || ':' || CAST(pos AS VARCHAR)), 1, 1) = '3'),
+feats AS (
+  SELECT doc_id, pos, media_ref, MD5(MD5(media_ref)) AS h FROM media)
+SELECT doc_id, CAST(pos AS INTEGER) AS span_idx, media_ref,
+       SUBSTRING(h, 1, 16) AS feature_id,
+       CAST(32 AS BIGINT) AS n_bytes,
+       CAST((STRPOS('0123456789abcdef', SUBSTRING(h, 17, 1)) - 1) * 16
+            + STRPOS('0123456789abcdef', SUBSTRING(h, 18, 1)) AS INTEGER)
+           AS width,
+       CAST((STRPOS('0123456789abcdef', SUBSTRING(h, 19, 1)) - 1) * 16
+            + STRPOS('0123456789abcdef', SUBSTRING(h, 20, 1)) AS INTEGER)
+           AS height
+FROM feats
+"""
 
 
 def q_media_span_stats(spark, sf_dir):
@@ -1259,7 +1290,7 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "simhash_neardup": (q_simhash_neardup, ORACLE_SIMHASH),
     "grouped_renest": (q_grouped_renest, ORACLE_GROUPED_RENEST),
     "entity_hydrate_nested": (q_entity_hydrate_nested, ORACLE_ENTITY_HYDRATE),
-    "media_features": (q_media_features, None),
+    "media_features": (q_media_features, ORACLE_MEDIA_FEATURES),
     "media_span_stats": (q_media_span_stats, ORACLE_MEDIA_SPAN_STATS),
     "er_mention_stats": (q_er_mention_stats, ORACLE_ER_MENTION_STATS),
     "er_recall_at_k": (q_er_recall_at_k, ORACLE_ER_RECALL_AT_K),
