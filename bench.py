@@ -15,6 +15,28 @@ import sys
 import time
 
 
+def _warmup_dir(sf_dir: str) -> str | None:
+    """Smallest sibling sf* dataset of ``sf_dir`` (for JIT warm-up), or
+    None when the layout doesn't provide one."""
+    parent = os.path.dirname(os.path.abspath(sf_dir.rstrip("/")))
+    best: tuple[float, str] | None = None
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return None
+    for name in names:
+        m = re.fullmatch(r"sf([0-9.]+)", name)
+        path = os.path.join(parent, name)
+        if not m or os.path.abspath(path) == os.path.abspath(sf_dir):
+            continue
+        if not os.path.exists(os.path.join(path, "documents.parquet")):
+            continue
+        size = float(m.group(1))
+        if best is None or size < best[0]:
+            best = (size, path)
+    return best[1] if best else None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -32,9 +54,14 @@ def main() -> None:
     # JIT warm-up on a small same-shape job (same protocol as
     # scaling_bench.py): the first execution of a plan shape on this host
     # pays a multi-second C2-compilation storm that would otherwise be
-    # billed to the flagship number
-    er_over_testdata(spark, "/root/testdata/sf0.001").count()
-    spark.catalog.clearCache()
+    # billed to the flagship number.  The warm-up data root derives from
+    # sf_dir (ADVICE r3: a hardcoded /root/testdata broke when
+    # SPARK_GRAFT_SF_DIR pointed elsewhere) — smallest sibling sf* dir
+    # that isn't sf_dir itself; skipped when none exists.
+    warm_dir = _warmup_dir(sf_dir)
+    if warm_dir:
+        er_over_testdata(spark, warm_dir).count()
+        spark.catalog.clearCache()
 
     # flagship: full ER pipeline (blocking + scoring + CC clustering)
     t0 = time.perf_counter()

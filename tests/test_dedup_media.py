@@ -153,6 +153,19 @@ def test_embedding_neardup_banded_recall_and_cap(spark):
                 shared = True
         assert shared, (ia, ib)
 
+    # the dropped-bucket lineage counter (ADVICE r3) reports exactly the
+    # buckets the cap removed
+    from wdel_spark.operators.dedup import banded_dropped_buckets
+    dropped = {(r["band"], r["key"]): r["bucket_size"]
+               for r in banded_dropped_buckets(
+                   emb, sign_bits=4, n_bands=4, max_block=20).collect()}
+    assert dropped == {b: n for b, n in sizes.items() if n > 20}
+
+    # max_block=None (the default) is uncapped: identical to a huge cap
+    uncapped = {(r["id_a"], r["id_b"]) for r in embedding_neardup_pairs(
+        emb, threshold=0.95, sign_bits=4, n_bands=4).collect()}
+    assert uncapped == banded
+
 
 def test_media_pipeline_plumbing(spark, corpus_spark):
     from wdel_spark.functions.media import (

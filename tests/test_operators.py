@@ -96,8 +96,16 @@ def test_incremental_components_equals_full(spark, tmp_path):
     assert got == want
 
     # persisted-state variant (streaming maintenance job), incl. resume
+    import os
     state = str(tmp_path / "cc_state")
     update_clusters(spark, batch1, state)
+    # simulate a crash that left a stale version behind (ADVICE r3: the
+    # old GC only removed the immediately superseded dir)
+    os.makedirs(os.path.join(state, "v_orphan"), exist_ok=False)
     final = update_clusters(spark, batch2, state)
     got2 = {r["node"]: r["component"] for r in final.collect()}
     assert got2 == want
+    with open(os.path.join(state, "CURRENT")) as f:
+        current = f.read().strip()
+    versions = [n for n in os.listdir(state) if n.startswith("v")]
+    assert versions == [current]   # every non-CURRENT version GC'd

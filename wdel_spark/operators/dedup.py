@@ -322,6 +322,46 @@ def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
 # ----------------------------------------------------- embedding near-dup
 
 
+def _sign_band_keys(base: DataFrame, sign_bits: int,
+                    n_bands: int) -> DataFrame:
+    """(id, band, key) rows: band k keys on the sign pattern of dimensions
+    [k*sign_bits, (k+1)*sign_bits) of the normalized-input frame ``base``
+    (columns id, v)."""
+    def band_key(k: int) -> Column:
+        return F.concat_ws("", F.transform(
+            F.slice(F.col("v"), k * sign_bits + 1, sign_bits),
+            lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ))
+
+    return base.select(
+        "id",
+        F.posexplode(F.array(*[band_key(k) for k in range(n_bands)]))
+        .alias("band", "key"),
+    )
+
+
+def banded_dropped_buckets(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_bits: int = 4,
+    n_bands: int = 1,
+    max_block: int = 100_000,
+) -> DataFrame:
+    """The (band, key, bucket_size) buckets ``embedding_neardup_pairs``
+    would drop at this ``max_block`` — the caller's lineage counter for
+    the cap's recall cost (ADVICE r3: the drop was claimed countable but
+    nothing surfaced it)."""
+    base = emb.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    return (
+        _sign_band_keys(base, sign_bits, n_bands)
+        .groupBy("band", "key")
+        .agg(F.count("*").alias("bucket_size"))
+        .where(F.col("bucket_size") > max_block)
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -329,7 +369,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     sign_bits: int = 0,
     n_bands: int = 1,
-    max_block: int = 100_000,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Pairs of vectors with cosine >= threshold.
 
@@ -343,11 +383,13 @@ def embedding_neardup_pairs(
       recall   — a near-dup pair straddling a sign boundary in one band
                  still collides in the others (miss prob (1-p^r)^b for
                  per-dim sign-agreement p; r=4, b=4, p=0.99 -> ~2e-6);
-      skew     — ``max_block`` drops (band, key) buckets larger than the
-                 cap (hot orthants, e.g. all-positive after ReLU-style
-                 encoders), bounding every self-join block; the drop is
-                 countable by the caller exactly like the MinHash bucket
-                 cap.
+      skew     — ``max_block`` (None = uncapped, preserving exact band-OR
+                 recall) drops (band, key) buckets larger than the cap
+                 (hot orthants, e.g. all-positive after ReLU-style
+                 encoders), bounding every self-join block; the dropped
+                 buckets are observable via
+                 ``banded_dropped_buckets`` — count it for lineage,
+                 exactly like the MinHash bucket cap.
 
     Candidates dedupe to slim (id_a, id_b) BEFORE vectors re-attach via
     two hash joins, so the band explode never carries vector payloads
@@ -378,24 +420,17 @@ def embedding_neardup_pairs(
             .where(F.col("cos_sim") >= threshold)
         )
 
-    def band_key(k: int) -> Column:
-        return F.concat_ws("", F.transform(
-            F.slice(F.col("v"), k * sign_bits + 1, sign_bits),
-            lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
-        ))
-
-    from pyspark.sql import Window as _W
-    keys = base.select(
-        "id",
-        F.posexplode(F.array(*[band_key(k) for k in range(n_bands)]))
-        .alias("band", "key"),
-    )
-    sized = (
-        keys.withColumn(
-            "bs", F.count("*").over(_W.partitionBy("band", "key")))
-        .where(F.col("bs") <= max_block)
-        .drop("bs")
-    )
+    keys = _sign_band_keys(base, sign_bits, n_bands)
+    if max_block is None:
+        sized = keys
+    else:
+        from pyspark.sql import Window as _W
+        sized = (
+            keys.withColumn(
+                "bs", F.count("*").over(_W.partitionBy("band", "key")))
+            .where(F.col("bs") <= max_block)
+            .drop("bs")
+        )
     ka, kb = sized.alias("ka"), sized.alias("kb")
     cand = (
         ka.join(kb, (F.col("ka.band") == F.col("kb.band"))

@@ -474,39 +474,9 @@ def attach_sig_scores(
     return joined.select(*cols)
 
 
-def attach_ranked_ids(
-    mentions: DataFrame,
-    sig_ranked: DataFrame,
-    strategy: str = "auto",
-    sig_rows: int | None = None,
-    broadcast_max_rows: int = 10_000_000,
-    salt_mod: int = 16,
-    hot_threshold: int = 1_000_000,
-) -> DataFrame:
-    """ID-slim occurrence fan-out: (node, qid, score, rank).
-
-    Both join sides carry 64-bit hash ids instead of the wide strings
-    (r2 VERDICT #1c: shuffle bytes through the attach path were dominated
-    by doc_id/norm_mention text): the probe is (node, nm_id) at 16 B/row,
-    the build is (nm_id, qid, score, rank).  ``node`` is the mention node
-    id the clustering stage already joins on, so doc_id/span_idx re-attach
-    exactly once, at the end, from the mentions table.  At 10^12 mentions
-    the 64-bit nm_id expects rare collisions — the production variant
-    widens to a (hash_hi, hash_lo) composite, same plan shape."""
-    nm_id = lambda c: F.xxhash64(F.lit("nm"), c)
-    m = mentions.select(
-        mention_node(F.col("doc_id"), F.col("span_idx")).alias("node"),
-        nm_id(F.col("norm_mention")).alias("nm_id"),
-    )
-    s = sig_ranked.select(
-        nm_id(F.col("norm_mention")).alias("nm_id"),
-        "qid", "score", "rank",
-    )
-    joined = _fanout_join(
-        m, s, "nm_id", strategy, sig_rows,
-        broadcast_max_rows, salt_mod, hot_threshold,
-        probe_salt_cols=["node"])
-    return joined.select("node", "qid", "score", "rank")
+# (attach_ranked_ids was removed in r4 — er_ids_plan builds its id-keyed
+# fan-out inline via _fanout_join, and keeping a second unused formulation
+# invited silent drift; ADVICE r3.)
 
 
 # ------------------------------------------------------- node id scheme
@@ -743,8 +713,18 @@ def _df_identity(df: DataFrame) -> str:
     except Exception:
         files = []
     # expression ids (col#123L) are session-assigned — strip them so the
-    # same logical construction hashes identically across sessions
-    plan = _re.sub(r"#\d+L?", "#", df._jdf.queryExecution().analyzed().toString())
+    # same logical construction hashes identically across sessions.
+    # Anchored to Spark's exprId syntax (ADVICE r3: a bare `#\d+` also ate
+    # string literals containing '#<n>', letting two plans differing only
+    # in such a literal hash identically): an exprId follows an identifier
+    # char and is not itself followed by more identifier chars.  NB this
+    # anchoring changes the identity scheme — pre-r4 workdir snapshots
+    # hash-miss once and recompute.
+    plan = _re.sub(
+        r"(?<=[A-Za-z0-9_)\]])#\d+L?\b",
+        "#",
+        df._jdf.queryExecution().analyzed().toString(),
+    )
     key = json.dumps([files, plan, df.schema.simpleString()])
     return hashlib.sha256(key.encode()).hexdigest()[:16]
 

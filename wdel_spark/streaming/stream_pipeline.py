@@ -125,6 +125,10 @@ def update_clusters(
     with open(tmp, "w") as f:
         f.write(next_name)
     os.replace(tmp, pointer)  # atomic pointer swap
-    if cur_name:
-        shutil.rmtree(os.path.join(state_path, cur_name), ignore_errors=True)
+    # GC every version except the one CURRENT now names (ADVICE r3: only
+    # deleting the immediately superseded version leaked a v<N> dir forever
+    # if a crash landed between the swap and the rmtree)
+    for name in os.listdir(state_path):
+        if name.startswith("v") and name != next_name:
+            shutil.rmtree(os.path.join(state_path, name), ignore_errors=True)
     return spark.read.parquet(next_dir)
