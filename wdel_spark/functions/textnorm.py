@@ -24,14 +24,16 @@ from __future__ import annotations
 import re
 
 # Traditional -> Simplified Chinese single-char mappings (standard
-# unambiguous pairs, hand-vetted; ~700 entries covering the high-frequency
-# traditional forms, plus the phrase-exception table below for
-# context-sensitive chars).  The reference uses HanziConv's table
+# unambiguous pairs, hand-vetted; ~1,440 entries covering the
+# high-frequency traditional forms, plus the phrase-exception table below
+# for context-sensitive chars).  The reference uses HanziConv's table
 # (`process_string.py:13-15`); a production deployment swaps in a complete
 # OpenCC-derived table behind this same dict + T2S_PHRASE_FIXUPS —
 # semantics (table-driven char translate + literal phrase fixups, JVM
 # `F.translate`/`F.replace` / python `str.translate`/`str.replace`) are
-# identical either way.  Encoded as alternating trad/simp chars.
+# identical either way.  Encoded as alternating trad/simp chars; a unit
+# test enforces even length, no trad==simp, and no conflicting duplicate
+# keys (tests/test_kernels.py::test_t2s_table_well_formed).
 _T2S_PAIRS = (
     "體体國国學学會会語语說说愛爱時时間间書书東东馬马鳥鸟龍龙萬万與与"
     "門门問问風风雲云電电車车長长島岛羅罗灣湾漢汉華华發发經经樂乐歷历"
@@ -103,6 +105,38 @@ _T2S_PAIRS = (
     "勳勋訝讶閹阉煙烟癢痒銥铱釔钇誼谊繹绎蔭荫嬰婴癰痈詠咏園园鄆郓竈灶"
     "棧栈脹胀鍾钟種种詛诅躓踬"
     "著着乾干瞭了幹干後后髮发裡里裏里於于準准鉅巨倆俩濱滨"
+    # round-4 expansion: +349 vetted pairs (r3 VERDICT next-round #2) —
+    # high-frequency chars the table still missed (變麼從陳殘層寶廚餘暫
+    # 莊採掛跡雜...), radical families (言/糸/貝/金/門/氵/食), codepoint
+    # variants (爲奧宮悅恆衆決沖況戶冊...), fauna/flora/body, and the
+    # long tail of standard one-to-one mappings
+    "變变麼么從从陳陈殘残災灾煩烦礙碍層层寶宝廚厨濃浓滾滚潰溃瘋疯淚泪"
+    "償偿儲储側侧倉仓齒齿麥麦辭辞辯辩腸肠籌筹雜杂蘭兰鬱郁餘余馳驰暫暂"
+    "莊庄萊莱粵粤跡迹採采掛挂撥拨擋挡穫获禪禅饋馈鬍胡邏逻"
+    "註注証证誠诚詰诘誹诽諷讽謁谒讒谗諱讳諮咨訣诀詫诧誨诲諭谕諫谏謗谤"
+    "譜谱讚赞誌志訃讣詬诟諛谀譁哗"
+    "納纳絞绞綺绮締缔縷缕繃绷纔才緻致綽绰綸纶紺绀繆缪係系紜纭絀绌繚缭"
+    "罈坛罌罂羈羁"
+    "貶贬賑赈贗赝貽贻賅赅贛赣幣币斃毙敗败輩辈鈔钞鈉钠鋰锂鈦钛鈷钴鎳镍"
+    "鋇钡釩钒鉬钼鉚铆鉑铂鋁铝鋒锋鋤锄鎊镑錶表銬铐錮锢鏤镂鏟铲釐厘"
+    "闌阑闊阔闖闯闡阐閭闾閱阅闔阖闕阙闆板闢辟隸隶隴陇鄲郸隕陨殞殒"
+    "決决沖冲況况淪沦滄沧滷卤瀏浏瀆渎瀕濒瀘泸瀟潇瀾澜燦灿燴烩渙涣湧涌"
+    "煥焕熒荧涇泾瀋沈灤滦"
+    "飢饥饅馒饞馋飩饨餛馄饃馍"
+    "爲为奧奥宮宫悅悦恆恒衆众羣群峯峰夠够冊册兌兑剝剥戶户佈布併并僞伪"
+    "盃杯竪竖啓启汙污衞卫逕径歎叹嚐尝糰团"
+    "鮑鲍鯉鲤鯊鲨鯨鲸鶯莺鷗鸥蟬蝉蠅蝇蠶蚕蠻蛮鵡鹉鸚鹦鶉鹑鵪鹌鷺鹭鼴鼹"
+    "鯰鲶鰍鳅鱉鳖蟈蝈蠣蛎蝟猬魷鱿鮭鲑鯽鲫骯肮髒脏臟脏贓赃膩腻臘腊脛胫"
+    "膾脍髖髋鬢鬓"
+    "僕仆儉俭壩坝屍尸屢屡岡冈巒峦廁厕廬庐彙汇攏拢攬揽覽览辮辫釀酿雛雏"
+    "靂雳頤颐顫颤颱台臺台檯台櫻樱櫥橱殯殡壟垄疇畴瘓痪瘡疮癒愈癟瘪癡痴"
+    "癥症癲癫癇痫瑩莹瞞瞒祕秘禦御禱祷穀谷簾帘籃篮籤签籬篱糞粪複复襖袄"
+    "襯衬艙舱徵征鞦秋韆千黴霉蕩荡薑姜薈荟藹蔼蘊蕴蘚藓蔔卜尷尴寵宠曠旷"
+    "撫抚撓挠擰拧撐撑攢攒擺摆撿捡摟搂搗捣捨舍盪荡暈晕暉晖曖暧砲炮磯矶"
+    "稈秆痺痹瞇眯姍姗嚥咽囉啰囪囱嵐岚牠它衊蔑芻刍蕎荞褻亵覷觑躊踌躪躏"
+    "輓挽轆辘靚靓韁缰颯飒飆飙驀蓦騁骋犢犊獷犷牘牍轅辕嬋婵婁娄氬氩甌瓯"
+    "頜颌顎颚嶇岖攙搀檳槟簍篓嗇啬瞼睑睞睐箏筝簫箫篤笃燻熏彆别鑾銮巔巅"
+    "鍥锲"
 )
 TRAD2SIMP: dict[str, str] = {
     _T2S_PAIRS[i]: _T2S_PAIRS[i + 1] for i in range(0, len(_T2S_PAIRS), 2)
@@ -125,6 +159,10 @@ _T2S_PHRASE_EXCEPTIONS: dict[str, str] = {
     "乾隆": "乾隆", "乾坤": "乾坤", "乾卦": "乾卦",
     # liào sense of 瞭 keeps 瞭 (only le/liǎo become 了)
     "瞭望": "瞭望", "瞭哨": "瞭哨",
+    # r4: more zhù-sense 著 compounds (the fixup VALUES stay simplified
+    # for their other chars: 著稱 -> 著称, 論著 -> 论著)
+    "名著": "名著", "原著": "原著", "巨著": "巨著", "著稱": "著称",
+    "著者": "著者", "論著": "论著", "譯著": "译著", "合著": "合著",
 }
 T2S_PHRASE_FIXUPS: dict[str, str] = {
     k.translate(_TRAD2SIMP_TRANS): v
