@@ -109,6 +109,7 @@ def run_one(cores: int) -> None:
             "stages": [
                 {
                     "id": s["stageId"],
+                    "name": s.get("name", "")[:60],
                     "tasks": s.get("numCompleteTasks"),
                     "run_s": round(s.get("executorRunTime", 0) / 1e3, 1),
                     "cpu_s": round(s.get("executorCpuTime", 0) / 1e9, 1),

@@ -233,3 +233,77 @@ def test_fanout_join_strategies_agree_on_ids(spark, corpus_spark):
         )
     assert outs["broadcast"].equals(outs["salted"])
     assert outs["broadcast"].equals(outs["shuffle"])
+
+
+def test_wide_ids_resolve_narrow_collisions(spark, monkeypatch):
+    """PipelineParams.wide_ids (r3 VERDICT next-round #5): a collision in
+    the truncated narrow id space mis-clusters two distinct entities; the
+    122-bit composite resolves it.  The narrow space is shrunk to 8 bits
+    to make collisions reachable (the production 61-bit space collides at
+    ~10^12 rows for the same structural reason)."""
+    import pyspark.sql.functions as F
+    import wdel_spark.plans.pipeline as P
+
+    monkeypatch.setattr(P, "_NODE_SPACE", 256)
+    qids = [f"Q{i}" for i in range(200)]
+    df = spark.createDataFrame([(q,) for q in qids], "qid string")
+    rows = df.select(
+        "qid",
+        P.entity_node(F.col("qid")).alias("n"),
+        P.entity_node(F.col("qid"), wide=True).alias("w"),
+    ).collect()
+    narrow = {r["qid"]: r["n"] for r in rows}
+    wide = {r["qid"]: r["w"] for r in rows}
+    by_id, pair = {}, None
+    for q in qids:
+        if narrow[q] in by_id and wide[q] != wide[by_id[narrow[q]]]:
+            pair = (by_id[narrow[q]], q)
+            break
+        by_id.setdefault(narrow[q], q)
+    assert pair is not None, "fixture: no narrow-only collision found"
+
+    mentions = spark.createDataFrame(
+        [("d1", 0), ("d2", 0)], "doc_id string, span_idx int")
+    assignments = spark.createDataFrame(
+        [("d1", 0, pair[0]), ("d2", 0, pair[1])],
+        "doc_id string, span_idx int, qid string")
+    for wide_flag, expect_merged in ((False, True), (True, False)):
+        params = P.PipelineParams(wide_ids=wide_flag)
+        edges = assignments.select(
+            P.mention_node(F.col("doc_id"), F.col("span_idx"),
+                           wide_flag).alias("src"),
+            P.entity_node(F.col("qid"), wide_flag).alias("dst"))
+        out = P.cluster_mentions(mentions, edges, params).collect()
+        cl = {(r["doc_id"], r["span_idx"]): r["cluster_id"] for r in out}
+        merged = cl[("d1", 0)] == cl[("d2", 0)]
+        assert merged == expect_merged, (wide_flag, cl)
+
+
+def test_er_ids_plan_wide_ids_same_partition(spark, corpus_spark):
+    """The full id-granular plan under wide (decimal) ids must induce the
+    SAME cluster partition as the narrow (long) default — every operator
+    downstream of the id columns (CC least/greatest/min, fan-out joins,
+    salting) is type-agnostic by construction."""
+    import pyspark.sql.functions as F
+    from wdel_spark.plans.pipeline import (
+        PipelineParams, prepare_kb, er_ids_plan)
+
+    kb = prepare_kb(
+        corpus_spark["kb_aliases"], corpus_spark["entity_vectors"],
+        corpus_spark.get("redirects"), corpus_spark.get("wikimedia_filter"))
+    docs = corpus_spark["documents"]
+
+    def partition_of(params):
+        cl = er_ids_plan(docs, kb, params)
+        member = F.concat_ws(":", "doc_id", F.col("span_idx").cast("string"))
+        canon = cl.groupBy("cluster_id").agg(F.min(member).alias("key"))
+        return {
+            (r["doc_id"], r["span_idx"]): r["key"]
+            for r in cl.join(canon, "cluster_id")
+            .select("doc_id", "span_idx", "key").collect()
+        }
+
+    narrow = partition_of(PipelineParams())
+    wide = partition_of(PipelineParams(wide_ids=True))
+    assert len(narrow) > 0
+    assert narrow == wide

@@ -119,3 +119,93 @@ def test_stored_corpus_runner_durable_resume(spark, tmp_path):
     c2 = run_er_from_parquet(spark, cd, workdir=wd).toPandas().sort_values(
         ["doc_id", "span_idx"]).reset_index(drop=True)
     assert c1.equals(c2)
+
+
+def test_cc_iterations_durable_resume(spark, tmp_path):
+    """Kill-mid-CC (r3 VERDICT missing #4): with a workdir, every CC
+    iteration is a manifest-validated snapshot; a run that dies mid-loop
+    resumes from the last completed iteration instead of restarting, a
+    stale snapshot from a DIFFERENT input is ignored, and iteration
+    snapshots are GC'd on success."""
+    import os
+
+    import wdel_spark.operators.cc as cc_mod
+    from wdel_spark.operators.cc import connected_components
+    from wdel_spark.sources import snapshot as snap_mod
+
+    # a path graph needs several star rounds to converge — enough
+    # iterations to kill between
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "src long, dst long")
+    wd = str(tmp_path / "cc_wd")
+    want = {r["node"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert set(want.values()) == {0}
+
+    class _Stop(Exception):
+        pass
+
+    real_fp = cc_mod._fingerprint
+
+    def die_after(n_calls):
+        state = {"n": 0}
+
+        def fp(e):
+            state["n"] += 1
+            if state["n"] == n_calls:
+                raise _Stop()
+            return real_fp(e)
+
+        return fp
+
+    # run 1 "crashes" after 2 completed iterations (fingerprint call 3 =
+    # initial fp + 2 per-iteration fps) — GC never runs, snapshots survive
+    cc_mod._fingerprint = die_after(3)
+    try:
+        connected_components(edges, workdir=wd)
+        raise AssertionError("expected simulated crash")
+    except _Stop:
+        pass
+    finally:
+        cc_mod._fingerprint = real_fp
+    saved = sorted(x for x in os.listdir(wd) if x.startswith("cc_iter_"))
+    assert saved, "crash left no iteration snapshots"
+
+    # run 2 resumes: it must SKIP the completed iterations (observable as
+    # fewer snapshot writes than the cold run took) and converge correctly
+    written = []
+    real_write = snap_mod.write_snapshot
+
+    def recording_write(df, path, stage, input_hash, **kw):
+        written.append(os.path.basename(path))
+        return real_write(df, path, stage, input_hash, **kw)
+
+    snap_mod.write_snapshot = recording_write
+    try:
+        got = {r["node"]: r["component"]
+               for r in connected_components(edges, workdir=wd).collect()}
+    finally:
+        snap_mod.write_snapshot = real_write
+    assert got == want
+    # completed iterations were NOT recomputed: every write is for an
+    # iteration strictly beyond the ones the crash left behind
+    assert written and min(written) > max(saved), (written, saved)
+
+    # GC on success: no iteration snapshots remain
+    assert not [x for x in os.listdir(wd) if x.startswith("cc_iter_")]
+
+    # stale state from a DIFFERENT input is ignored (fingerprint-keyed):
+    # crash-seed the workdir with this graph, then resolve a disjoint one
+    cc_mod._fingerprint = die_after(3)
+    try:
+        connected_components(edges, workdir=wd)
+    except _Stop:
+        pass
+    finally:
+        cc_mod._fingerprint = real_fp
+    other = spark.createDataFrame(
+        [(100 + i, 101 + i) for i in range(8)], "src long, dst long")
+    got2 = {r["node"]: r["component"]
+            for r in connected_components(other, workdir=wd).collect()}
+    assert set(got2) == {100 + i for i in range(9)}
+    assert set(got2.values()) == {100}

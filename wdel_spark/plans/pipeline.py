@@ -61,6 +61,9 @@ class PipelineParams:
     salt_mod: int = 16
     hot_threshold: int = 100_000
     cc_max_iterations: int = 25
+    # 122-bit decimal node/raw/nm ids (see _wide_id) for 10^12-row scale;
+    # default narrow longs are faster and collision-safe below ~10^10 nodes
+    wide_ids: bool = False
 
     def digest(self) -> str:
         return hashlib.sha256(
@@ -484,20 +487,55 @@ def attach_sig_scores(
 _NODE_SPACE = 1 << 61
 
 
-def entity_node(qid_col) -> F.Column:
-    """Entity node id in [0, 2^61) — always BELOW every mention node.
+def _wide_id(seed: str, *cols) -> F.Column:
+    """122-bit id as decimal(38,0): two independent 61-bit xxhash64 halves
+    composed as ``hi * 2^61 + lo``.
+
+    At 10^12 mentions the 64-bit scheme expects rare birthday collisions
+    (~10^24 pairs x 2^-61 ≈ tens of collisions — each one silently merging
+    two unrelated clusters); 122 bits pushes the expectation to ~10^-13.
+    decimal(38,0) keeps the id a single orderable/groupable/joinable
+    column, so every downstream operator (CC's least/greatest/min, the
+    fan-out hash joins, salting's xxhash64) works unchanged — values stay
+    < 2^123 ≈ 1.06e37, inside decimal(38) range.  Narrow (long) ids remain
+    the default: Tungsten compares/hashes longs materially faster than
+    128-bit decimals, and below ~10^10 nodes the collision risk is
+    negligible."""
+    import decimal as _dec
+
+    hi = F.pmod(F.xxhash64(F.lit(seed), *cols), F.lit(_NODE_SPACE))
+    lo = F.pmod(F.xxhash64(F.lit(seed + "\x01"), *cols), F.lit(_NODE_SPACE))
+    d38 = "decimal(38,0)"
+    return (
+        hi.cast(d38) * F.lit(_dec.Decimal(_NODE_SPACE)).cast(d38)
+        + lo.cast(d38)
+    ).cast(d38)
+
+
+def entity_node(qid_col, wide: bool = False) -> F.Column:
+    """Entity node id in [0, 2^61) (wide: [0, 2^122)) — always BELOW every
+    mention node.
 
     Domain-aware numbering: with entity ids ordered below mention ids the
     bipartite assignment graph is *already* star-shaped around its
     component minimum, so large-star/small-star converges in one confirm
     pass instead of O(log n) rounds — a pure node-labeling trick, no
-    change to the CC operator.  (61-bit space per class; the 10^12-doc
-    variant widens to a two-column 128-bit key.)"""
+    change to the CC operator.  ``wide=True`` (PipelineParams.wide_ids)
+    selects the 122-bit decimal composite for 10^12-doc scale."""
+    if wide:
+        return _wide_id("e", qid_col)
     return F.pmod(F.xxhash64(F.lit("e"), qid_col), F.lit(_NODE_SPACE))
 
 
-def mention_node(doc_id_col, span_idx_col) -> F.Column:
-    """Mention node id in [2^61, 2^62)."""
+def mention_node(doc_id_col, span_idx_col, wide: bool = False) -> F.Column:
+    """Mention node id in [2^61, 2^62) (wide: [2^122, 2^123))."""
+    if wide:
+        import decimal as _dec
+
+        return (
+            _wide_id("m", doc_id_col, span_idx_col)
+            + F.lit(_dec.Decimal(1 << 122)).cast("decimal(38,0)")
+        ).cast("decimal(38,0)")
     return F.pmod(
         F.xxhash64(F.lit("m"), doc_id_col, span_idx_col), F.lit(_NODE_SPACE)
     ) + F.lit(_NODE_SPACE)
@@ -533,6 +571,11 @@ def er_ids_plan(
     enter a per-occurrence shuffle.  ``pin`` materializes the two
     multi-consumer frames (occurrences, ranked sigs chain inputs) —
     localCheckpoint for benches, snapshots for the durable runner."""
+    wide = params.wide_ids
+    raw_id = (lambda: _wide_id("raw", "raw")) if wide else (
+        lambda: F.xxhash64(F.lit("raw"), "raw"))
+    nm_id = (lambda c: _wide_id("nm", c)) if wide else (
+        lambda c: F.xxhash64(F.lit("nm"), c))
     spans = (
         documents.select(
             "doc_id", F.posexplode("spans").alias("span_idx", "span"))
@@ -541,18 +584,18 @@ def er_ids_plan(
     )
     occ = pin(spans.select(
         "doc_id", "span_idx",
-        mention_node(F.col("doc_id"), F.col("span_idx")).alias("node"),
-        F.xxhash64(F.lit("raw"), "raw").alias("raw_id"),
+        mention_node(F.col("doc_id"), F.col("span_idx"), wide).alias("node"),
+        raw_id().alias("raw_id"),
         "raw",
     ))
     # normalize at distinct-RAW granularity; key at distinct-NORM
     raws = pin(
         occ.select("raw").distinct()
         .select(
-            F.xxhash64(F.lit("raw"), "raw").alias("raw_id"),
+            raw_id().alias("raw_id"),
             normalize_col(F.col("raw")).alias("norm_mention"),
         )
-        .withColumn("nm_id", F.xxhash64(F.lit("nm"), "norm_mention"))
+        .withColumn("nm_id", nm_id(F.col("norm_mention")))
     )
     norms = (
         raws.select("norm_mention").distinct()
@@ -561,31 +604,35 @@ def er_ids_plan(
     sig_scores = pin(score_pair_sigs(
         candidate_signatures(norms, kb, params), kb))
     sig_ranked = rank_signature_scores(sig_scores, params)
-    # compose (nm_id -> ranked candidates) with (raw_id -> nm_id), then
-    # fan out to occurrences on raw_id — both joins strategy-aware with
-    # EXACT build-side counts (the compose result is pinned, so its count
-    # is a free cached pass, and the occurrence fan-out picks
-    # broadcast/salted on real numbers instead of a guess)
+    # The clustering stage consumes ONLY each signature's winning entity
+    # (rank 1 above threshold) — so reduce to the winner AND encode its
+    # entity node id while still at signature granularity (r4, r3 VERDICT
+    # next-round #1: the fan-outs previously shipped all top-k rows with
+    # qid STRINGS + score + rank per occurrence — 10x the rows at ~5x the
+    # bytes/row; now both fan-out joins move two 8-byte ids per row and
+    # qid strings never leave the signature table).
     n_sigs = sig_scores.count()
-    raw_ranked = pin(_fanout_join(
-        raws.select("raw_id", "nm_id"),
-        sig_ranked.select(
-            F.xxhash64(F.lit("nm"), "norm_mention").alias("nm_id"),
-            "qid", "score", "rank"),
-        "nm_id", "auto", n_sigs, 10_000_000, 16, 1_000_000,
-        probe_salt_cols=["raw_id"],
-    ).select("raw_id", "qid", "score", "rank"))
-    ranked_ids = _fanout_join(
-        occ.select("node", "raw_id"), raw_ranked,
-        "raw_id", "auto", raw_ranked.count(), 10_000_000, 16, 1_000_000,
-        probe_salt_cols=["node"],
-    )
-    edges = ranked_ids.where(
+    best = sig_ranked.where(
         (F.col("rank") == 1) & (F.col("score") >= params.score_threshold)
     ).select(
-        F.col("node").alias("src"),
-        entity_node(F.col("qid")).alias("dst"),
+        nm_id(F.col("norm_mention")).alias("nm_id"),
+        entity_node(F.col("qid"), wide).alias("dst"),
     )
+    # compose (nm_id -> winning entity node) with (raw_id -> nm_id), then
+    # fan out to occurrences on raw_id — both joins strategy-aware; the
+    # compose result is pinned so the occurrence fan-out picks
+    # broadcast/salted from an EXACT build-side count (n_sigs upper-bounds
+    # the first join's build side)
+    raw_best = pin(_fanout_join(
+        raws.select("raw_id", "nm_id"), best,
+        "nm_id", "auto", n_sigs, 10_000_000, 16, 1_000_000,
+        probe_salt_cols=["raw_id"],
+    ).select("raw_id", "dst"))
+    edges = _fanout_join(
+        occ.select("node", "raw_id"), raw_best,
+        "raw_id", "auto", raw_best.count(), 10_000_000, 16, 1_000_000,
+        probe_salt_cols=["node"],
+    ).select(F.col("node").alias("src"), "dst")
     # emit_isolated=False: the left join + coalesce below already labels
     # unmatched mentions as singletons, so CC's own isolated-node pass
     # (three shuffles over 2x the edges) is redundant here
@@ -631,8 +678,9 @@ def rank_and_edges(
         (F.col("rank") == 1) & (F.col("score") >= params.score_threshold)
     ).select("doc_id", "span_idx", "qid", "score")
     edges = assignments.select(
-        mention_node(F.col("doc_id"), F.col("span_idx")).alias("src"),
-        entity_node(F.col("qid")).alias("dst"),
+        mention_node(F.col("doc_id"), F.col("span_idx"),
+                     params.wide_ids).alias("src"),
+        entity_node(F.col("qid"), params.wide_ids).alias("dst"),
     )
     return ranked, edges
 
@@ -643,17 +691,21 @@ def cluster_mentions(
     mentions: DataFrame,
     edges: DataFrame,
     params: PipelineParams = PipelineParams(),
+    workdir: str | None = None,
 ) -> DataFrame:
     """S6: connected components over mention<->entity edges -> cluster ids.
 
     Every mention gets a cluster: matched mentions inherit their
     component's min node id; unmatched mentions become singletons (their
     own node hash).  Output: (doc_id, span_idx, cluster_id:long).
-    """
-    comps = connected_components(edges, params.cc_max_iterations)
+    ``workdir`` makes each CC iteration durably resumable (see
+    ``connected_components``)."""
+    comps = connected_components(edges, params.cc_max_iterations,
+                                 workdir=workdir)
     m = mentions.select(
         "doc_id", "span_idx",
-        mention_node(F.col("doc_id"), F.col("span_idx")).alias("node"),
+        mention_node(F.col("doc_id"), F.col("span_idx"),
+                     params.wide_ids).alias("node"),
     )
     return (
         m.join(comps, "node", "left")
@@ -818,7 +870,10 @@ def run_pipeline(
 
     clusters, _ = stage(
         "s6_clusters",
-        lambda: cluster_mentions(mentions, edges, params),
+        lambda: cluster_mentions(
+            mentions, edges, params,
+            workdir=(os.path.join(workdir, "cc_iters")
+                     if workdir is not None else None)),
         [stage_hash["s5_ranked"], stage_hash["s1_mentions"]])
     counters["n_clusters"] = clusters.select("cluster_id").distinct().count()
 
