@@ -305,3 +305,32 @@ def test_normalize_col_fuzz_parity(spark):
         pn = normalize_text(r["s"])
         assert r["jn"] == pn, (repr(r["s"]), repr(pn), repr(r["jn"]))
         assert r["jk"] == block_key(pn), (repr(r["s"]),)
+
+
+def test_seq_cosine_jvm_bitexact_vs_python(spark):
+    """The Catalyst sequential-double cosine (_seq_cosine_col) must be
+    BIT-equal (==, not approx) to seq_cosine_batch — exact-partition
+    agreement between the Spark pipeline and the pandas oracle rests on
+    it (r4: the cosine moved JVM-side so vectors stop crossing Arrow)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from wdel_spark.functions.scoring import seq_cosine_batch, hash_embed
+    from wdel_spark.plans.pipeline import _seq_cosine_col
+
+    rng = np.random.RandomState(99)
+    n, d = 300, 128
+    a = rng.randn(n, d).astype(np.float32)
+    b = rng.randn(n, d).astype(np.float32)
+    a[5] = 0.0                       # zero-vector guard branch
+    b[7] = 0.0
+    a[9] = hash_embed(["實體鏈接測試"], d)[0]   # a real encoder output
+    rows = [(i, [float(x) for x in a[i]], [float(x) for x in b[i]])
+            for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "i int, m_vec array<float>, e_vec array<float>")
+    got = {r["i"]: r["cos"] for r in df.select(
+        "i", _seq_cosine_col(F.col("m_vec"), F.col("e_vec")).alias("cos")
+    ).collect()}
+    want = seq_cosine_batch(a, b)
+    for i in range(n):
+        assert got[i] == want[i], (i, got[i], want[i])

@@ -182,7 +182,8 @@ def er_ranked_over_testdata(
         entity_vectors.withColumnRenamed("vec", "e_vec"), "qid"))
     mentions = _pin_mem(extract_mentions(docs, with_vec=False))
     sig_scores = _pin_mem(score_pair_sigs(
-        candidate_signatures(mentions, kb, params), kb))
+        candidate_signatures(mentions, kb, params), kb,
+        norms=mentions.select("norm_mention")))
     ranked = attach_sig_scores(
         mentions, rank_signature_scores(sig_scores, params),
         sig_rows=sig_scores.count())
@@ -278,7 +279,13 @@ def run_er_from_parquet(
                     ).localCheckpoint(eager=True)
     # the granularity-laddered id plan: normalize on distinct raw texts,
     # block-key on distinct norms, strings never in a per-occurrence
-    # shuffle (see er_ids_plan docstring for the measured rationale)
+    # shuffle (see er_ids_plan docstring for the measured rationale).
+    # Pin stays localCheckpoint here (NOT _pin_mem): a MEMORY_ONLY pin on
+    # the stored-corpus job recomputes the whole upstream chain —
+    # including the Python scorer — whenever unified-memory pressure
+    # evicts a block (measured r4: 38.6 s -> 234 s at local[8], 7x CPU,
+    # two ~300-cpu-s zero-input recompute stages); localCheckpoint blocks
+    # spill to disk instead of recomputing
     return er_ids_plan(rd("documents"), kb, params)
 
 

@@ -252,6 +252,39 @@ def hash_embed(texts: "list[str] | np.ndarray", dim: int = EMBED_DIM) -> np.ndar
     return out
 
 
+def seq_cosine_batch(a, b) -> np.ndarray:
+    """Row-wise cosine of two [B, d] float32 matrices, computed as a
+    SEQUENTIAL left-fold over doubles in dimension order.
+
+    Bit-identical to the Catalyst formulation the signature scorer uses
+    JVM-side (r4 — the cosine moved out of Python so entity vectors never
+    cross Arrow):
+
+        dot  = aggregate(zip_with(m, e, (x, y) -> x * y), 0.0, acc + x)
+        cos  = dot / (sqrt(aggregate(transform(m, x*x), ...)) * ...)
+
+    numpy's einsum/dot use pairwise/SIMD summation (different association
+    order, different last-ulp results), so this helper folds dimension j
+    across the whole batch per step — each ROW's accumulation order is
+    exactly j = 0..d-1, matching the JVM fold and the scalar Python loop.
+    The pandas oracle and the row-level scorer both use this so score
+    equality with the JVM path stays exact, not approximate."""
+    a64 = np.asarray(a, dtype=np.float64)
+    b64 = np.asarray(b, dtype=np.float64)
+    n, d = a64.shape
+    dot = np.zeros(n, dtype=np.float64)
+    nm = np.zeros(n, dtype=np.float64)
+    ne = np.zeros(n, dtype=np.float64)
+    for j in range(d):
+        x, y = a64[:, j], b64[:, j]
+        dot += x * y
+        nm += x * x
+        ne += y * y
+    denom = np.sqrt(nm) * np.sqrt(ne)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(denom > 0, dot / denom, 0.0)
+
+
 def cosine_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Row-wise cosine of two [B, d] matrices (inputs need not be unit)."""
     na = np.linalg.norm(a, axis=1)

@@ -18,7 +18,8 @@ import numpy as np
 import pandas as pd
 
 from wdel_spark.functions.textnorm import normalize_text, block_key
-from wdel_spark.functions.scoring import hash_embed, cosine_pairs, pair_score, EMBED_DIM
+from wdel_spark.functions.scoring import (
+    hash_embed, seq_cosine_batch, pair_score, EMBED_DIM)
 
 
 class _UnionFind:
@@ -93,7 +94,8 @@ def run_oracle(
     if len(pairs):
         mv = mvecs[pairs["m_row"].to_numpy()]
         ev = np.stack([evec[q] for q in pairs["qid"]])
-        cos = cosine_pairs(mv, ev)
+        # sequential-double cosine — bit-equal to the Spark JVM fold
+        cos = seq_cosine_batch(mv, ev)
         pairs["score"] = [
             pair_score(mn, an, c)
             for mn, an, c in zip(pairs["norm_mention"], pairs["norm_alias"],
