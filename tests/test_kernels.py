@@ -334,3 +334,38 @@ def test_seq_cosine_jvm_bitexact_vs_python(spark):
     want = seq_cosine_batch(a, b)
     for i in range(n):
         assert got[i] == want[i], (i, got[i], want[i])
+
+
+def test_seq_cosine_split_form_bitexact(spark):
+    """The scorer's SPLIT cosine (norms precomputed per side, only the
+    dot per row) must be bit-equal to seq_cosine_batch too — it is the
+    actual hot-path formulation."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from wdel_spark.functions.scoring import seq_cosine_batch
+    from wdel_spark.plans.pipeline import _fold_sum, _seq_norm_col
+
+    rng = np.random.RandomState(7)
+    n, d = 200, 128
+    a = rng.randn(n, d).astype(np.float32)
+    b = rng.randn(n, d).astype(np.float32)
+    a[3] = 0.0
+    # python-side m_norm: the dimension-order fold embed_norms uses
+    a64 = a.astype(np.float64)
+    nm = np.zeros(n)
+    for j in range(d):
+        nm += a64[:, j] * a64[:, j]
+    m_norm = np.sqrt(nm)
+    rows = [(i, [float(x) for x in a[i]], float(m_norm[i]),
+             [float(x) for x in b[i]]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "i int, m_vec array<float>, m_norm double, e_vec array<float>")
+    dot = _fold_sum(F.zip_with(
+        F.col("m_vec").cast("array<double>"),
+        F.col("e_vec").cast("array<double>"), lambda x, y: x * y))
+    denom = F.col("m_norm") * _seq_norm_col(F.col("e_vec"))
+    cos = F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+    got = {r["i"]: r["cos"] for r in df.select("i", cos.alias("cos")).collect()}
+    want = seq_cosine_batch(a, b)
+    for i in range(n):
+        assert got[i] == want[i], (i, got[i], want[i])

@@ -339,42 +339,64 @@ def candidate_signatures(
         ["norm_mention", "norm_alias", "qid"])
 
 
+def _fold_sum(arr) -> F.Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _seq_norm_col(col) -> F.Column:
+    """sqrt of the sequential-double sum of squares of a float array."""
+    d = col.cast("array<double>")
+    return F.sqrt(_fold_sum(F.transform(d, lambda x: x * x)))
+
+
 def _seq_cosine_col(m_col, e_col) -> F.Column:
     """Catalyst cosine of two float-array columns as a sequential double
     left-fold — the exact IEEE op sequence ``seq_cosine_batch`` mirrors in
-    Python, so JVM-computed scores stay BIT-equal to the oracle's."""
+    Python, so JVM-computed scores stay BIT-equal to the oracle's.
+
+    Reference formulation (used by the bit-exactness test).  The scorer's
+    hot path uses the algebraically-identical SPLIT form — norms
+    precomputed once per norm (python embed stage) and once per qid (the
+    tiny e_vec table) — because each higher-order function here allocates
+    a 128-element array per ROW: 3 HOF allocations per candidate row
+    measured 5x the CPU of the dot alone at 8 cores (alloc-rate
+    contention), so only the dot stays per-row."""
     md = m_col.cast("array<double>")
     ed = e_col.cast("array<double>")
-
-    def fold_sum(arr):
-        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-
-    dot = fold_sum(F.zip_with(md, ed, lambda x, y: x * y))
-    nm = F.sqrt(fold_sum(F.transform(md, lambda x: x * x)))
-    ne = F.sqrt(fold_sum(F.transform(ed, lambda x: x * x)))
-    denom = nm * ne
+    dot = _fold_sum(F.zip_with(md, ed, lambda x, y: x * y))
+    denom = _seq_norm_col(m_col) * _seq_norm_col(e_col)
     return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
 
 
 def embed_norms(norms: DataFrame, col: str = "norm_mention") -> DataFrame:
-    """(norm) -> (norm, m_vec): the hashed-n-gram encoder over DISTINCT
-    normalized texts — each norm embeds exactly once in the whole job
-    (the previous in-batch dedup re-embedded a norm once per partition).
-    Arrow-batched mapInPandas; 512 B/row crosses OUT of Python only at
-    distinct-norm granularity."""
+    """(norm) -> (norm, m_vec, m_norm): the hashed-n-gram encoder over
+    DISTINCT normalized texts — each norm embeds exactly once in the
+    whole job (the previous in-batch dedup re-embedded a norm once per
+    partition).  Arrow-batched mapInPandas; 512 B/row crosses OUT of
+    Python only at distinct-norm granularity.
+
+    ``m_norm`` is the L2 norm as the sequential-double fold (dimension
+    order) — bit-equal to ``_seq_norm_col`` — precomputed here so the
+    per-candidate-row cosine needs only the dot product."""
     npart = norms.sparkSession.sparkContext.defaultParallelism
 
     def embedder(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            vecs = hash_embed(pdf[col].tolist(), EMBED_DIM)
+            v64 = vecs.astype(np.float64)
+            nm = np.zeros(len(vecs), dtype=np.float64)
+            for j in range(v64.shape[1]):
+                nm += v64[:, j] * v64[:, j]
             yield pd.DataFrame({
                 col: pdf[col],
-                "m_vec": list(hash_embed(pdf[col].tolist(), EMBED_DIM)),
+                "m_vec": list(vecs),
+                "m_norm": np.sqrt(nm),
             })
 
     return norms.select(col).distinct().repartition(npart).mapInPandas(
-        embedder, schema=f"{col} string, m_vec array<float>")
+        embedder, schema=f"{col} string, m_vec array<float>, m_norm double")
 
 
 def score_pair_sigs(pair_sigs: DataFrame, kb: DataFrame,
@@ -423,16 +445,27 @@ def score_pair_sigs(pair_sigs: DataFrame, kb: DataFrame,
     # coalesces it to a few partitions) but python-compute-heavy — size
     # tasks for compute, not bytes.
     npart = pair_sigs.sparkSession.sparkContext.defaultParallelism * 2
-    evec = kb.select("qid", "e_vec").dropDuplicates(["qid"])
+    # e_norm folds once per ENTITY (tiny table) — see _seq_cosine_col on
+    # why the norms leave the per-row path
+    evec = (
+        kb.select("qid", "e_vec").dropDuplicates(["qid"])
+        .withColumn("e_norm", _seq_norm_col(F.col("e_vec")))
+    )
     mvec = embed_norms(
         pair_sigs if norms is None else norms, "norm_mention")
+    dot = _fold_sum(F.zip_with(
+        F.col("m_vec").cast("array<double>"),
+        F.col("e_vec").cast("array<double>"),
+        lambda x, y: x * y))
+    denom = F.col("m_norm") * F.col("e_norm")
     with_cos = (
         pair_sigs.repartition(npart, "norm_mention")
         .join(mvec, "norm_mention")
         .join(F.broadcast(evec), "qid")
         .select(
             "norm_mention", "norm_alias", "qid",
-            _seq_cosine_col(F.col("m_vec"), F.col("e_vec")).alias("cos"),
+            F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
+            .alias("cos"),
             F.levenshtein("norm_mention", "norm_alias").alias("lev"),
         )
     )
