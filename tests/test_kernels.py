@@ -307,65 +307,31 @@ def test_normalize_col_fuzz_parity(spark):
         assert r["jk"] == block_key(pn), (repr(r["s"]),)
 
 
-def test_seq_cosine_jvm_bitexact_vs_python(spark):
-    """The Catalyst sequential-double cosine (_seq_cosine_col) must be
-    BIT-equal (==, not approx) to seq_cosine_batch — exact-partition
-    agreement between the Spark pipeline and the pandas oracle rests on
-    it (r4: the cosine moved JVM-side so vectors stop crossing Arrow)."""
+def test_seq_cosine_batch_matches_scalar_fold():
+    """seq_cosine_batch (the shared scorer/oracle cosine) must equal the
+    literal scalar sequential-double fold — the definition both the Spark
+    scorers and the pandas oracle import verbatim."""
     import numpy as np
-    from pyspark.sql import functions as F
     from wdel_spark.functions.scoring import seq_cosine_batch, hash_embed
-    from wdel_spark.plans.pipeline import _seq_cosine_col
 
     rng = np.random.RandomState(99)
-    n, d = 300, 128
-    a = rng.randn(n, d).astype(np.float32)
-    b = rng.randn(n, d).astype(np.float32)
-    a[5] = 0.0                       # zero-vector guard branch
-    b[7] = 0.0
-    a[9] = hash_embed(["實體鏈接測試"], d)[0]   # a real encoder output
-    rows = [(i, [float(x) for x in a[i]], [float(x) for x in b[i]])
-            for i in range(n)]
-    df = spark.createDataFrame(
-        rows, "i int, m_vec array<float>, e_vec array<float>")
-    got = {r["i"]: r["cos"] for r in df.select(
-        "i", _seq_cosine_col(F.col("m_vec"), F.col("e_vec")).alias("cos")
-    ).collect()}
-    want = seq_cosine_batch(a, b)
-    for i in range(n):
-        assert got[i] == want[i], (i, got[i], want[i])
-
-
-def test_seq_cosine_split_form_bitexact(spark):
-    """The scorer's SPLIT cosine (norms precomputed per side, only the
-    dot per row) must be bit-equal to seq_cosine_batch too — it is the
-    actual hot-path formulation."""
-    import numpy as np
-    from pyspark.sql import functions as F
-    from wdel_spark.functions.scoring import seq_cosine_batch
-    from wdel_spark.plans.pipeline import _fold_sum, _seq_norm_col
-
-    rng = np.random.RandomState(7)
     n, d = 200, 128
     a = rng.randn(n, d).astype(np.float32)
     b = rng.randn(n, d).astype(np.float32)
-    a[3] = 0.0
-    # python-side m_norm: the dimension-order fold embed_norms uses
-    a64 = a.astype(np.float64)
-    nm = np.zeros(n)
-    for j in range(d):
-        nm += a64[:, j] * a64[:, j]
-    m_norm = np.sqrt(nm)
-    rows = [(i, [float(x) for x in a[i]], float(m_norm[i]),
-             [float(x) for x in b[i]]) for i in range(n)]
-    df = spark.createDataFrame(
-        rows, "i int, m_vec array<float>, m_norm double, e_vec array<float>")
-    dot = _fold_sum(F.zip_with(
-        F.col("m_vec").cast("array<double>"),
-        F.col("e_vec").cast("array<double>"), lambda x, y: x * y))
-    denom = F.col("m_norm") * _seq_norm_col(F.col("e_vec"))
-    cos = F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
-    got = {r["i"]: r["cos"] for r in df.select("i", cos.alias("cos")).collect()}
-    want = seq_cosine_batch(a, b)
+    a[5] = 0.0                                  # zero-vector guard branch
+    b[7] = 0.0
+    a[9] = hash_embed(["實體鏈接測試"], d)[0]   # a real encoder output
+    got = seq_cosine_batch(a, b)
+
+    def scalar(x, y):
+        dot = nm = ne = 0.0
+        for j in range(d):
+            fx, fy = float(x[j]), float(y[j])
+            dot += fx * fy
+            nm += fx * fx
+            ne += fy * fy
+        denom = (nm ** 0.5) * (ne ** 0.5)
+        return dot / denom if denom > 0 else 0.0
+
     for i in range(n):
-        assert got[i] == want[i], (i, got[i], want[i])
+        assert got[i] == scalar(a[i], b[i]), i

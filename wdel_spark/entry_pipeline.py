@@ -182,8 +182,7 @@ def er_ranked_over_testdata(
         entity_vectors.withColumnRenamed("vec", "e_vec"), "qid"))
     mentions = _pin_mem(extract_mentions(docs, with_vec=False))
     sig_scores = _pin_mem(score_pair_sigs(
-        candidate_signatures(mentions, kb, params), kb,
-        norms=mentions.select("norm_mention")))
+        candidate_signatures(mentions, kb, params), kb))
     ranked = attach_sig_scores(
         mentions, rank_signature_scores(sig_scores, params),
         sig_rows=sig_scores.count())

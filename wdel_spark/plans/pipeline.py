@@ -339,137 +339,65 @@ def candidate_signatures(
         ["norm_mention", "norm_alias", "qid"])
 
 
-def _fold_sum(arr) -> F.Column:
-    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
-
-
-def _seq_norm_col(col) -> F.Column:
-    """sqrt of the sequential-double sum of squares of a float array."""
-    d = col.cast("array<double>")
-    return F.sqrt(_fold_sum(F.transform(d, lambda x: x * x)))
-
-
-def _seq_cosine_col(m_col, e_col) -> F.Column:
-    """Catalyst cosine of two float-array columns as a sequential double
-    left-fold — the exact IEEE op sequence ``seq_cosine_batch`` mirrors in
-    Python, so JVM-computed scores stay BIT-equal to the oracle's.
-
-    Reference formulation (used by the bit-exactness test).  The scorer's
-    hot path uses the algebraically-identical SPLIT form — norms
-    precomputed once per norm (python embed stage) and once per qid (the
-    tiny e_vec table) — because each higher-order function here allocates
-    a 128-element array per ROW: 3 HOF allocations per candidate row
-    measured 5x the CPU of the dot alone at 8 cores (alloc-rate
-    contention), so only the dot stays per-row."""
-    md = m_col.cast("array<double>")
-    ed = e_col.cast("array<double>")
-    dot = _fold_sum(F.zip_with(md, ed, lambda x, y: x * y))
-    denom = _seq_norm_col(m_col) * _seq_norm_col(e_col)
-    return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
-
-
-def embed_norms(norms: DataFrame, col: str = "norm_mention") -> DataFrame:
-    """(norm) -> (norm, m_vec, m_norm): the hashed-n-gram encoder over
-    DISTINCT normalized texts — each norm embeds exactly once in the
-    whole job (the previous in-batch dedup re-embedded a norm once per
-    partition).  Arrow-batched mapInPandas; 512 B/row crosses OUT of
-    Python only at distinct-norm granularity.
-
-    ``m_norm`` is the L2 norm as the sequential-double fold (dimension
-    order) — bit-equal to ``_seq_norm_col`` — precomputed here so the
-    per-candidate-row cosine needs only the dot product."""
-    npart = norms.sparkSession.sparkContext.defaultParallelism
-
-    def embedder(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            vecs = hash_embed(pdf[col].tolist(), EMBED_DIM)
-            v64 = vecs.astype(np.float64)
-            nm = np.zeros(len(vecs), dtype=np.float64)
-            for j in range(v64.shape[1]):
-                nm += v64[:, j] * v64[:, j]
-            yield pd.DataFrame({
-                col: pdf[col],
-                "m_vec": list(vecs),
-                "m_norm": np.sqrt(nm),
-            })
-
-    return norms.select(col).distinct().repartition(npart).mapInPandas(
-        embedder, schema=f"{col} string, m_vec array<float>, m_norm double")
-
-
-def score_pair_sigs(pair_sigs: DataFrame, kb: DataFrame,
-                    norms: DataFrame | None = None) -> DataFrame:
+def score_pair_sigs(pair_sigs: DataFrame, kb: DataFrame) -> DataFrame:
     """S4': batched scorer over distinct signatures.
 
     ``pair_sigs``: slim (norm_mention, norm_alias, qid) from
-    ``candidate_signatures``; ``kb``: any frame carrying (qid, e_vec);
-    ``norms``: optional cheaper source of the distinct norm_mention
-    values — the encoder branch otherwise re-evaluates the whole
-    ``pair_sigs`` subtree (including the blocking join) a second time.
-    Callers with a pinned upstream norm table should pass it.
+    ``candidate_signatures``; ``kb``: any frame carrying (qid, e_vec).
+    The slim sigs are repartitioned for python-compute balance FIRST and
+    the 512-byte entity vectors join (broadcast) AFTER — the shuffle
+    moves ~60 bytes/row instead of ~600 (measured 10x).
 
-    r4 restructure (r3 VERDICT next-round #1, "lower Arrow batch copies
-    in the scorer"): vectors no longer cross the Arrow boundary at all.
-
-      stage A (python)  — ``embed_norms``: m_vec once per DISTINCT norm;
-      stage B (JVM)     — broadcast e_vec join + ``_seq_cosine_col``
-                          (whole-stage codegen, sequential-double fold)
-                          + Catalyst ``levenshtein()``; both vector
-                          columns are projected away in the same stage;
-      stage C (python)  — Jaro-Winkler + combine (``pair_score_batch``)
-                          over (norm, alias, cos, lev) — ~80 B/row
-                          instead of ~600 with an attached vector.
-
-    Score values are BIT-equal to the pandas oracle: the oracle computes
-    the same sequential-double cosine (``seq_cosine_batch``) and shares
-    the JW/combine kernels.  Collapses alias variants to the
+    Embeds each distinct norm_mention once per Arrow batch (further
+    deduped in-batch; the gram memo makes repeats cheap), scores against
+    the entity vector + alias string, and collapses alias variants to the
     per-(mention, qid) max — the same value the row-level scorer +
-    groupBy-max produces."""
+    groupBy-max produces.
+
+    Design note (r4): a variant that moved the cosine JVM-side (embed
+    per distinct norm in one stage, ``aggregate(zip_with(...))`` dot per
+    candidate row) to keep vectors out of Arrow was measured and
+    REJECTED on a like-for-like A/B at local[8]/1M docs: interpreted
+    higher-order functions allocate a 128-double array per row, and the
+    vector re-attach join shuffles 512 B/norm — 528 -> 822 executor
+    cpu-s (101 -> 171 s wall).  The Arrow-batched numpy cosine is the
+    cheaper path even counting the e_vec transfer; the cosine kernel is
+    ``seq_cosine_batch`` (sequential-double fold) shared verbatim with
+    the pandas oracle, so score equality stays bit-exact."""
 
     def scorer(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            norms = pdf["norm_mention"].tolist()
+            uniq = sorted(set(norms))
+            uvecs = hash_embed(uniq, EMBED_DIM)
+            idx = {n: i for i, n in enumerate(uniq)}
+            mv = uvecs[[idx[n] for n in norms]]
+            ev = np.array([np.asarray(v, dtype=np.float32)
+                           for v in pdf["e_vec"]])
+            cos = seq_cosine_batch(mv, ev)
             scores = pair_score_batch(
-                pdf["norm_mention"].tolist(), pdf["norm_alias"],
-                pdf["cos"].to_numpy(), lev=pdf["lev"].to_numpy())
+                norms, pdf["norm_alias"], cos, lev=pdf["lev"].to_numpy())
             yield pd.DataFrame({
-                "norm_mention": pdf["norm_mention"],
+                "norm_mention": norms,
                 "qid": pdf["qid"],
                 "score": scores,
             })
 
-    # Respread before the python stage: the sig table is BYTE-small (AQE
-    # coalesces it to a few partitions) but python-compute-heavy — size
-    # tasks for compute, not bytes.
+    # Levenshtein via the Catalyst builtin (JVM, codegen) — the Arrow
+    # batch carries the precomputed distance; Python only does batched
+    # numpy (JW + cosine + combine).  Respread before the python stage:
+    # the sig table is BYTE-small (AQE coalesces it to a few partitions)
+    # but python-compute-heavy — size tasks for compute, not bytes.
     npart = pair_sigs.sparkSession.sparkContext.defaultParallelism * 2
-    # e_norm folds once per ENTITY (tiny table) — see _seq_cosine_col on
-    # why the norms leave the per-row path
-    evec = (
-        kb.select("qid", "e_vec").dropDuplicates(["qid"])
-        .withColumn("e_norm", _seq_norm_col(F.col("e_vec")))
-    )
-    mvec = embed_norms(
-        pair_sigs if norms is None else norms, "norm_mention")
-    dot = _fold_sum(F.zip_with(
-        F.col("m_vec").cast("array<double>"),
-        F.col("e_vec").cast("array<double>"),
-        lambda x, y: x * y))
-    denom = F.col("m_norm") * F.col("e_norm")
-    with_cos = (
-        pair_sigs.repartition(npart, "norm_mention")
-        .join(mvec, "norm_mention")
+    evec = kb.select("qid", "e_vec").dropDuplicates(["qid"])
+    with_lev = (
+        pair_sigs.repartition(npart)
         .join(F.broadcast(evec), "qid")
-        .select(
-            "norm_mention", "norm_alias", "qid",
-            F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
-            .alias("cos"),
-            F.levenshtein("norm_mention", "norm_alias").alias("lev"),
-        )
+        .withColumn("lev", F.levenshtein("norm_mention", "norm_alias"))
     )
-    scored = with_cos.mapInPandas(scorer, schema=_SIG_SCORE_SCHEMA)
+    scored = with_lev.mapInPandas(scorer, schema=_SIG_SCORE_SCHEMA)
     return scored.groupBy("norm_mention", "qid").agg(
         F.max("score").alias("score"))
 
@@ -688,14 +616,12 @@ def er_ids_plan(
         mention_node(F.col("doc_id"), F.col("span_idx"), wide).alias("node"),
         raw_id().alias("raw_id"),
     ))
-    # pinned: consumed by the blocking join AND the encoder branch
-    # (embed_norms) — without the pin the distinct runs once per branch
-    norms = pin(
+    norms = (
         raws.select("norm_mention").distinct()
         .withColumn("block_key", block_key_col(F.col("norm_mention")))
     )
     sig_scores = pin(score_pair_sigs(
-        candidate_signatures(norms, kb, params), kb, norms=norms))
+        candidate_signatures(norms, kb, params), kb))
     sig_ranked = rank_signature_scores(sig_scores, params)
     # The clustering stage consumes ONLY each signature's winning entity
     # (rank 1 above threshold) — so reduce to the winner AND encode its
