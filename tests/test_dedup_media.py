@@ -185,3 +185,23 @@ def test_media_pipeline_plumbing(spark, corpus_spark):
     assert r["feature_id"] == hashlib.md5(payload).hexdigest()[:16]
     assert r["n_bytes"] == 32
     assert 1 <= r["width"] <= 256 and 1 <= r["height"] <= 256
+
+
+def test_minhash_dropped_buckets_counter(spark):
+    """The MinHash bucket-cap drop must be observable (mirror of the
+    embedding-LSH counter): a boilerplate shingle shared by every doc
+    forms a bucket above a tiny cap, shows up in the counter, and its
+    pairs vanish from the capped candidate set."""
+    from wdel_spark.operators.dedup import (
+        minhash_dropped_buckets, minhash_lsh_pairs)
+
+    boiler = "COMMON-HEADER-" * 3
+    rows = [(str(i), boiler + f"unique tail {i} " + "x" * i)
+            for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    dropped = minhash_dropped_buckets(docs, max_bucket=4).collect()
+    assert dropped, "shared-boilerplate bucket not reported"
+    assert all(r["bucket_size"] > 4 for r in dropped)
+    capped = minhash_lsh_pairs(docs, max_bucket=4).collect()
+    uncapped = minhash_lsh_pairs(docs, max_bucket=1000).collect()
+    assert len(capped) < len(uncapped)

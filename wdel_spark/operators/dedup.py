@@ -96,7 +96,8 @@ def minhash_lsh_pairs(
 
     Output: (doc_a, doc_b, n_shared_bands) with doc_a < doc_b.
     Buckets larger than ``max_bucket`` are dropped (promiscuous shingles,
-    e.g. boilerplate) — the count is the caller's lineage counter."""
+    e.g. boilerplate) — ``minhash_dropped_buckets`` surfaces them for the
+    caller's lineage counter."""
     # one pass over the shingle digests (ONE md5 per shingle; see
     # minhash_band_rows), posexploded into (band, mh) rows instead of N
     # unioned selects (a union re-evaluates the signature subtree once per
@@ -127,6 +128,25 @@ def minhash_lsh_pairs(
         .agg(F.count("*").alias("n_shared_bands"))
     )
     return pairs
+
+
+def minhash_dropped_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+    shingle_n: int = 5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The (band, mh, bucket_size) buckets ``minhash_lsh_pairs`` drops at
+    this ``max_bucket`` — the lineage counter for the cap's recall cost
+    (same contract as ``banded_dropped_buckets`` for the embedding LSH)."""
+    return (
+        minhash_band_rows(docs, id_col, text_col, n_bands, shingle_n)
+        .groupBy("band", "mh")
+        .agg(F.count("*").alias("bucket_size"))
+        .where(F.col("bucket_size") > max_bucket)
+    )
 
 
 # ---------------------------------------------------------------- Jaccard
