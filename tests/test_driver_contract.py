@@ -69,3 +69,13 @@ def test_entry_smoke(spark):
     df = contract.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"doc_id", "span_idx", "cluster_id"}
+
+
+def test_every_query_has_an_oracle():
+    """r4: the no-oracle set is EMPTY — every queries() entry ships DuckDB
+    oracle SQL (media_features' stub algebra closed the last gap).  A new
+    query without an oracle should be a conscious, reviewed decision."""
+    assert set(QUERIES) == set(ORACLES), (
+        sorted(set(QUERIES) - set(ORACLES)),
+        sorted(set(ORACLES) - set(QUERIES)),
+    )
