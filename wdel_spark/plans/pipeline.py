@@ -263,8 +263,8 @@ def score_pairs(candidates: DataFrame) -> DataFrame:
                            for v in pdf["m_vec"]])
             ev = np.array([np.asarray(v, dtype=np.float32)
                            for v in pdf["e_vec"]])
-            # sequential-double cosine: bit-equal to the signature path's
-            # JVM _seq_cosine_col, so both scorers + the oracle agree
+            # sequential-double cosine — the kernel shared verbatim with
+            # the signature scorer and the pandas oracle
             cos = seq_cosine_batch(mv, ev)
             scores = pair_score_batch(
                 pdf["norm_mention"], pdf["norm_alias"], cos,
