@@ -25,6 +25,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from wdel_spark.operators.cc import connected_components
+
 # --------------------------------------------------------------- MinHash
 
 
@@ -146,6 +148,38 @@ def minhash_dropped_buckets(
         .groupBy("band", "mh")
         .agg(F.count("*").alias("bucket_size"))
         .where(F.col("bucket_size") > max_bucket)
+    )
+
+
+def neardup_doc_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup PAIRS -> document CLUSTERS + canonical selection: the
+    emit stage of a training-data dedup pipeline (keep one document per
+    duplicate cluster, drop the rest).
+
+    Connected components over the pair graph (the CC operator is
+    type-agnostic — doc ids cluster directly, no hash round-trip), label
+    = lexicographic min member; documents with no near-dup pair are
+    their own singleton cluster.  Output: (doc_id, cluster_key,
+    is_canonical) — ``where(is_canonical)`` IS the deduplicated corpus.
+
+    Scale: CC cost is bounded by the candidate pair count the LSH caps
+    already govern; the label join is a slim (id, id) hash join."""
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+    comp = connected_components(edges, emit_isolated=True)
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        base.join(comp.withColumnRenamed("node", "doc_id"), "doc_id",
+                  "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_key"),
+        )
+        .withColumn("is_canonical", F.col("cluster_key") == F.col("doc_id"))
     )
 
 

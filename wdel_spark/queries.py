@@ -705,6 +705,56 @@ GROUP BY a.doc, b.doc
 """
 
 
+def q_neardup_doc_clusters(spark, sf_dir):
+    """The EMIT stage of the dedup pipeline: near-dup pairs -> transitive
+    document clusters -> canonical keeper per cluster (min doc id).
+    Composes MinHash-LSH candidates with the CC operator over string doc
+    ids; the oracle restates the transitive closure with a recursive CTE.
+    ``where(is_canonical)`` is the deduplicated corpus."""
+    from wdel_spark.operators.dedup import (
+        minhash_lsh_pairs, neardup_doc_clusters)
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text").select("doc_a", "doc_b")
+    return neardup_doc_clusters(d, pairs)
+
+
+ORACLE_NEARDUP_DOC_CLUSTERS = """
+WITH RECURSIVE sh AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc,
+         unnest(list_transform(range(1, GREATEST(LENGTH(text) - 4, 1) + 1),
+                               i -> SUBSTRING(text, i, 5))) AS s
+  FROM documents WHERE doc_id < 300),
+mh AS (
+  SELECT doc, band, MIN(SUBSTRING(MD5(s), CAST(8 * band + 1 AS INTEGER), 8))
+             AS mh
+  FROM sh, (SELECT unnest(range(4)) AS band)
+  GROUP BY doc, band),
+sized AS (
+  SELECT doc, band, mh, COUNT(*) OVER (PARTITION BY band, mh) AS bs
+  FROM mh),
+pairs AS (
+  SELECT DISTINCT a.doc AS a, b.doc AS b
+  FROM sized a JOIN sized b
+    ON a.band = b.band AND a.mh = b.mh AND a.doc < b.doc
+  WHERE a.bs <= 1000 AND b.bs <= 1000),
+und AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a),
+docs AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc
+  FROM documents WHERE doc_id < 300)
+SELECT d.doc AS doc_id,
+       LEAST(d.doc, COALESCE(MIN(r.b), d.doc)) AS cluster_key,
+       LEAST(d.doc, COALESCE(MIN(r.b), d.doc)) = d.doc AS is_canonical
+FROM docs d LEFT JOIN reach r ON r.a = d.doc
+GROUP BY d.doc
+"""
+
+
 def q_ngram_jaccard_neardup(spark, sf_dir):
     """Exact 3-gram Jaccard over the MinHash candidate pairs (the verify
     stage of the dedup pipeline)."""
@@ -1284,6 +1334,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "embedding_class_centroids": (q_embedding_class_centroids, ORACLE_CENTROIDS),
     "minhash_lsh_neardup": (q_minhash_lsh_neardup, ORACLE_MINHASH),
     "ngram_jaccard_neardup": (q_ngram_jaccard_neardup, ORACLE_NGRAM_JACCARD),
+    "neardup_doc_clusters": (q_neardup_doc_clusters,
+                             ORACLE_NEARDUP_DOC_CLUSTERS),
     "embedding_neardup": (q_embedding_neardup, ORACLE_EMB_NEARDUP),
     "embedding_neardup_banded": (q_embedding_neardup_banded,
                                  ORACLE_EMB_NEARDUP_BANDED),
