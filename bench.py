@@ -25,7 +25,7 @@ def _warmup_dir(sf_dir: str) -> str | None:
     except OSError:
         return None
     for name in names:
-        m = re.fullmatch(r"sf([0-9.]+)", name)
+        m = re.fullmatch(r"sf(\d+(?:\.\d+)?)", name)
         path = os.path.join(parent, name)
         if not m or os.path.abspath(path) == os.path.abspath(sf_dir):
             continue

@@ -170,7 +170,7 @@ def neardup_doc_clusters(
     already govern; the label join is a slim (id, id) hash join."""
     edges = pairs.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))
-    comp = connected_components(edges, emit_isolated=True)
+    comp = connected_components(edges, emit_isolated=False)
     base = docs.select(F.col(id_col).alias("doc_id"))
     return (
         base.join(comp.withColumnRenamed("node", "doc_id"), "doc_id",

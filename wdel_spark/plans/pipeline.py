@@ -573,7 +573,7 @@ def er_ids_plan(
     ~1,260 of the job's ~2,900 task-seconds.  Granularity ladder here:
 
       occurrences (8.75M): explode + xxhash64 ids ONLY — pinned once as
-          (doc_id, span_idx, node, raw_id, raw);
+          (doc_id, span_idx, node, raw_id);
       distinct raw texts (~1M): normalize (translate + phrase fixups +
           regex folds) runs here, ~9x less text than per-occurrence;
       distinct normalized texts (~0.8M): block_key (split + array_sort)
