@@ -134,6 +134,7 @@ def main() -> None:
         run_one(int(sys.argv[sys.argv.index("--cores") + 1]))
         return
     cooldown = int(os.environ.get("WDEL_SCALING_COOLDOWN", "150"))
+    pool_path = os.environ.get("WDEL_SCALING_POOL", "")
     results: dict[int, list] = {c: [] for c in LEVELS}
     first = True
     for _rep in range(N_REPS):
@@ -148,6 +149,13 @@ def main() -> None:
                 # decays before the next measurement
                 time.sleep(cooldown)
             first = False
+            # self-certifying phase evidence (r4 VERDICT #1): a ~7 s
+            # host-health canary reading is taken IMMEDIATELY before
+            # each measured run and committed inside the run record, so
+            # every wall-clock number carries the host phase it ran in
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from tools.canary import reading as canary_reading
+            canary = canary_reading()
             out = subprocess.run(
                 [sys.executable, __file__, "--cores", str(cores)],
                 capture_output=True, text=True, check=True,
@@ -156,8 +164,12 @@ def main() -> None:
             line = [l for l in out.stdout.splitlines()
                     if l.startswith("WDEL_RESULT ")][-1]
             rec = json.loads(line[len("WDEL_RESULT "):])
+            rec["canary"] = canary
             results[cores].append(rec)
             print(json.dumps(rec))
+            if pool_path:
+                with open(pool_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
     lo, hi = LEVELS
     t_lo = min(r["sec"] for r in results[lo])
     t_hi = min(r["sec"] for r in results[hi])

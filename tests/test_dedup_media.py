@@ -179,12 +179,40 @@ def test_media_pipeline_plumbing(spark, corpus_spark):
     feats = extract_media_features(media)
     rows = feats.collect()
     assert len(rows) == n_media
-    # deterministic stub: feature is md5 of the payload
+    # real decode (r5): payload is a genuine 24-bit BMP; width/height in
+    # the result must equal what an independent header parse reads, and
+    # the feature fingerprints the decoded identity incl. pixel checksum
+    import struct
+    from wdel_spark.functions.media import synth_bmp
+
     r = rows[0]
-    payload = hashlib.md5(r["media_ref"].encode()).hexdigest().encode()
-    assert r["feature_id"] == hashlib.md5(payload).hexdigest()[:16]
-    assert r["n_bytes"] == 32
-    assert 1 <= r["width"] <= 256 and 1 <= r["height"] <= 256
+    payload = synth_bmp(r["media_ref"])
+    assert payload[:2] == b"BM"
+    _hsz, w, h, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
+    assert bpp == 24
+    assert (r["width"], r["height"]) == (w, h)
+    assert r["n_bytes"] == len(payload) == 54 + (3 * w + 3) // 4 * 4 * h
+    checksum = sum(payload[54:])
+    assert r["feature_id"] == hashlib.md5(
+        f"{r['media_ref']}:{w}x{h}:{checksum}".encode()).hexdigest()[:16]
+    assert 1 <= w <= 256 and 1 <= h <= 256
+
+
+def test_media_decode_rejects_corrupt_payloads():
+    """The real decoder actually validates bytes: wrong magic and
+    truncated/odd bit depth raise instead of emitting features."""
+    import pytest as _pytest
+    from wdel_spark.functions.media import decode_bmp, synth_bmp
+
+    good = synth_bmp("img://doc-1/3")
+    w, h, _ = decode_bmp(good)
+    assert w >= 1 and h >= 1
+    with _pytest.raises(ValueError):
+        decode_bmp(b"XX" + good[2:])
+    bad_depth = bytearray(good)
+    bad_depth[28] = 8  # biBitCount LSB: 24 -> 8
+    with _pytest.raises(ValueError):
+        decode_bmp(bytes(bad_depth))
 
 
 def test_minhash_dropped_buckets_counter(spark):

@@ -95,13 +95,24 @@ _KB_SCHEMA = (
 )
 
 
-def derive_vocab_kb(spark: SparkSession, docs_spans: DataFrame
-                    ) -> tuple[DataFrame, DataFrame]:
+def derive_vocab_kb(spark: SparkSession, docs_spans: DataFrame,
+                    decoys: bool = False) -> tuple[DataFrame, DataFrame]:
     """KB = the corpus's own mention vocabulary.
 
     One entity per distinct normalized mention text; qid = md5-derived.
     Featurization through the same kernels as the real KB (mapInPandas,
-    no per-row Python).  Returns (kb_aliases, entity_vectors)."""
+    no per-row Python).  Returns (kb_aliases, entity_vectors).
+
+    ``decoys=True`` (r4 VERDICT next-round #4, used by the recall@k
+    query) additionally injects, for the deterministic 1/16 of vocab
+    entries where md5(norm)[0] == '0', a DECOY entity with the SAME
+    alias text but qid 'A'+md5(norm)[:12].  The decoy's alias and
+    embedding are byte-identical to gold's, so it ties on score and the
+    deterministic tie-break (score desc, qid asc — 'A...' < 'T...')
+    ranks it FIRST: gold lands at rank 2 for exactly that subset, making
+    the recall@k histogram falsifiable in both directions — the oracle
+    derives the expected ranks from this injection rule instead of
+    stating recall ≡ 1."""
     vocab = (
         docs_spans.select(F.explode("spans").alias("s"))
         .where(F.col("s.kind") == "mention")
@@ -110,16 +121,26 @@ def derive_vocab_kb(spark: SparkSession, docs_spans: DataFrame
     )
 
     def feat(batches):
+        import hashlib
+
         for pdf in batches:
             norms = [normalize_text(t) for t in pdf["alias"]]
+            digs = [hashlib.md5(n.encode()).hexdigest() for n in norms]
+            qids = ["T" + d[:12] for d in digs]
+            aliases = list(pdf["alias"])
+            if decoys:
+                for a, n, d in zip(list(pdf["alias"]), norms, digs):
+                    if d[0] == "0":
+                        qids.append("A" + d[:12])
+                        aliases.append(a)
+                        norms.append(n)
             yield pd.DataFrame({
-                "qid": ["T" + __import__("hashlib").md5(n.encode()).hexdigest()[:12]
-                        for n in norms],
-                "alias": pdf["alias"],
+                "qid": qids,
+                "alias": aliases,
                 "norm_alias": norms,
                 "block_key": [block_key(n) for n in norms],
-                "lang": ["en"] * len(pdf),
-                "is_label": [True] * len(pdf),
+                "lang": ["en"] * len(qids),
+                "is_label": [True] * len(qids),
             })
 
     kb_aliases = vocab.mapInPandas(feat, schema=_KB_SCHEMA).dropDuplicates(
@@ -165,6 +186,7 @@ def er_ranked_over_testdata(
     spark: SparkSession,
     sf_dir: str,
     params: PipelineParams = PipelineParams(),
+    decoys: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Blocking -> scoring -> per-mention ranking over the derived corpus.
 
@@ -177,7 +199,7 @@ def er_ranked_over_testdata(
         rank_signature_scores)
 
     docs = _pin_mem(derive_spans_documents(spark, sf_dir))
-    kb_aliases, entity_vectors = derive_vocab_kb(spark, docs)
+    kb_aliases, entity_vectors = derive_vocab_kb(spark, docs, decoys=decoys)
     kb = _pin_mem(kb_aliases.join(
         entity_vectors.withColumnRenamed("vec", "e_vec"), "qid"))
     mentions = _pin_mem(extract_mentions(docs, with_vec=False))

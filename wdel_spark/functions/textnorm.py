@@ -137,6 +137,69 @@ _T2S_PAIRS = (
     "輓挽轆辘靚靓韁缰颯飒飆飙驀蓦騁骋犢犊獷犷牘牍轅辕嬋婵婁娄氬氩甌瓯"
     "頜颌顎颚嶇岖攙搀檳槟簍篓嗇啬瞼睑睞睐箏筝簫箫篤笃燻熏彆别鑾銮巔巅"
     "鍥锲"
+    # round-5 expansion: +866 vetted pairs (r4 VERDICT next-round #2,
+    # full-coverage pass) — the complete 讠/纟/贝/钅/门/页/鱼/鸟/饣/马/车
+    # radical families, the remaining 简化字总表-class singles (這遠運
+    # 擁厭佔蝦鄉隻並創揚統適...), codepoint variants (説絶眞淸卽産隣鷄
+    # 顔録...), and the long tail of standard one-to-one mappings
+    # (籲吁 鑰钥 釁衅 included).  Ambiguous one-to-many chars (摺 藉)
+    # stay deliberately unmapped; 著/乾/瞭 senses stay phrase-table-
+    # protected below.
+    "訌讧訕讪訥讷訶诃詁诂詆诋詔诏詖诐詘诎詡诩詣诣詮诠誆诓誄诔誒诶誚诮"
+    "誥诰誑诳誶谇諉诿諍诤諏诹諑诼諗谂諞谝諢诨諤谔諦谛諶谌諼谖諳谙謐谧"
+    "謔谑謖谡謚谥謨谟謫谪謭谫謳讴謾谩譎谲譖谮譙谯譫谵譸诪讕谰讖谶讞谳"
+    "讎雠詒诒紂纣紆纡紇纥紈纨紓纾紕纰紘纮紝纴紲绁紼绋紿绐絆绊絎绗絝绔"
+    "絳绛綃绡綈绨綉绣綞缍綣绻綫线綬绶綰绾綹绺緄绲緇缁緋绯緙缂緡缗緦缌"
+    "緱缑緲缈緶缏緹缇縈萦縉缙縊缢縋缒縐绉縑缣縕缊縝缜縞缟縟缛縧绦縲缧"
+    "縴纤縵缦縶絷縹缥繅缫繒缯繢缋繮缰繯缳繾缱纈缬纊纩纍累纘缵緗缃縭缡"
+    "貫贯貰贳貲赀貺贶賁贲賕赇賚赉賡赓賻赙贐赆賫赍釗钊釙钋釵钗釧钏釹钕"
+    "鈀钯鈁钫鈄钭鈈钚鈎钩鈐钤鈑钣鈥钬鈧钪鈮铌鈰铈鈳钶鈸钹鈹铍鈺钰鈿钿"
+    "鉈铊鉉铉鉍铋鉞钺鉢钵鉦钲鉭钽銃铳銓铨銖铢銚铫銠铑銣铷銦铟銨铵銩铥"
+    "銪铕銫铯銹锈銼锉鋃锒鋌铤鋏铗鋙铻鋝锊鋟锓鋥锃鋦锔鋨锇鋩铓鋯锆鋱铽"
+    "鋶锍錁锞錆锖錇锫錈锩錒锕錕锟錙锱錚铮錛锛錟锬錡锜鍀锝鍁锨鍃锪鍔锷"
+    "鍘铡鍤锸鍩锘鍶锶鎄锿鎇镅鎔镕鎘镉鎚锤鎣蓥鎦镏鎧铠鎩铩鎪锼鎬镐鎰镒"
+    "鎵镓鏌镆鏍镙鏐镠鏑镝鏗铿鏘锵鏜镗鏝镘鏞镛鏢镖鏨錾鏵铧鏷镤鐃铙鐒铹"
+    "鐓镦鐔镡鐙镫鐠镨鐦锎鐧锏鐨镄鐫镌鐲镯鐳镭鐸铎鑊镬鑑鉴鑣镳鑠铄鑭镧"
+    "鑹镩鎿镎鈽钸鐿镱鏃镞鏇旋鍰锾閆闫閉闭閫阃閬阆閶阊閼阏閽阍閾阈闃阒"
+    "闈闱闋阕闐阗闞阚閎闳闇暗頊顼頎颀頏颃頡颉頦颏頷颔頽颓顒颙顓颛顙颡"
+    "顥颢顬颥顰颦顢颟魴鲂鮁鲅鮃鲆鮎鲇鮐鲐鮒鲋鮓鲊鮚鲒鮞鲕鮦鲖鮪鲔鮫鲛"
+    "鯀鲧鯁鲠鯇鲩鯔鲻鯕鲯鯖鲭鯗鲞鯛鲷鯝鲴鯡鲱鯢鲵鯤鲲鯧鲳鯪鲮鯫鲰鯴鲺"
+    "鯷鳀鯿鳊鰁鳈鰈鲽鰉鳇鰐鳄鱷鳄鰒鳆鰣鲥鰥鳏鰨鳎鰩鳐鰭鳍鰱鲢鰲鳌鰳鳓"
+    "鰷鲦鰹鲣鰻鳗鰾鳔鱅鳙鱈鳕鱒鳟鱔鳝鱖鳜鱘鲟鱧鳢鱭鲚鱸鲈鰠鳋鳧凫鳶鸢"
+    "鴆鸩鴝鸲鴞鸮鴟鸱鴣鸪鴯鸸鴰鸹鵂鸺鵒鹆鵓鹁鵜鹈鵠鹄鵯鹎鶇鸫鶓鹋鶘鹕"
+    "鶚鹗鶩鹜鶻鹘鷂鹞鷓鹧鷙鸷鷥鸶鷦鹪鷲鹫鷸鹬鸕鸬鸛鹳鸝鹂鸞鸾鷁鹢飪饪"
+    "飫饫飭饬飴饴餌饵餑饽餚肴餳饧餵喂餿馊饈馐饉馑饊馓饌馔饜餍饢馕駑驽"
+    "駘骀駙驸駟驷駢骈騅骓騍骒騏骐騖骛騫骞驁骜驂骖驃骠驄骢驊骅驍骁驛驿"
+    "驥骥驪骊駔驵驏骣軛轭軻轲軼轶軾轼載载輒辄輜辎輟辍輦辇輻辐轂毂轡辔"
+    "軔轫轔辚亙亘傖伧僂偻儂侬儈侩儔俦儕侪儘尽儷俪儺傩兇凶凈净剎刹匱匮"
+    "厲厉吶呐唄呗喚唤嗩唢嗶哔嘍喽嘖啧嘰叽嘮唠噠哒噥哝噹当嚀咛嚕噜嚙啮"
+    "嚶嘤塚冢墻墙壚垆奐奂姦奸媧娲嫗妪嬈娆嬪嫔孿孪嶗崂巖岩幗帼彫雕悵怅"
+    "惻恻愴怆慄栗慍愠慚惭慟恸憊惫憚惮懌怿懟怼懺忏掄抡擯摈擷撷擼撸昇升"
+    "暢畅曇昙曄晔朧胧朮术楓枫櫓橹櫚榈櫛栉櫟栎欒栾欖榄歿殁殤殇殫殚氂牦"
+    "汎泛測测潁颍潯浔濛蒙濬浚濾滤瀲潋熾炽燁烨燉炖燜焖燿耀牀床狽狈瑤瑶"
+    "璣玑瓏珑瓔璎甦苏癆痨癩癞癮瘾皚皑睏困矇蒙硃朱礪砺窺窥竇窦篳筚籟籁"
+    "籲吁萵莴蒼苍蓆席蕓芸薺荠藺蔺裊袅襠裆襬摆規规覦觎覬觊覲觐觴觞躉趸"
+    "躋跻躡蹑躥蹿靄霭韃鞑韜韬韻韵魘魇麩麸黽黾齏齑齦龈齪龊齬龉齷龌龕龛"
+    "髏髅婭娅媯妫嫻娴彿佛懨恹戔戋撣掸攣挛梔栀湞浈灕漓煒炜瑋玮磽硗禎祯"
+    "秈籼篋箧簣篑聵聩臚胪虯虬螄蛳蟎螨衹只褸褛訐讦輊轾邇迩鄺邝醱酦鍼针"
+    "鐋铴閌闶陜陕靦腼駸骎鱟鲎鴴鸻剴剀厙厍嘵哓噝咝噯嗳嚌哜堝埚嬡嫒屭屃"
+    "幬帱憒愦懣懑戧戗撟挢枴拐棖枨榪杩橈桡檣樯欞棂煢茕獫猃瘺瘘礄硚稭秸"
+    "筧笕簀箦籜箨糶粜絏绁繈襁羋芈羥羟翺翱脈脉臏膑舘馆蘺蓠蛺蛱螻蝼蟯蛲"
+    "蠑蝾襇裥詿诖讜谠賵赗蹌跄蹕跸躒跞軑轪轀辒邐逦銱铞鏰镚鐝镢閤合闒闼"
+    "隄堤靉叆韝鞲颼飕騶驺髕髌魎魉鴇鸨黲黪齠龆週周並并葯药佔占蠔蚝醃腌"
+    "僱雇傢家勻匀佇伫侶侣摳抠崢峥侖仑圇囵耬耧簞箪儐傧檜桧噲哙剷铲蹺跷"
+    "儼俨嫵妩廡庑摶抟羆罴齔龀齟龃齙龅齜龇齶腭浹浃霽霁燐磷慪怄鷄鸡産产"
+    "隣邻敎教録录顔颜靑青淸清硏研卽即眞真説说絶绝麪面蹟迹悽凄瑯琅稟禀"
+    "箇个粧妆遡溯霑沾韮韭鬪斗麤粗倀伥慳悭襤褴釅酽黷黩覿觌櫝椟歟欤臠脔"
+    "矓眬瀧泷櫳栊蘢茏礱砻籙箓藪薮瘻瘘嶁嵝喫吃嬤嬷弔吊攄摅斕斓檁檩檉柽"
+    "氌氇璫珰癘疠皰疱糴籴綆绠羶膻聹聍腖胨袞衮覈核賾赜贇赟躂跶鄖郧鉋刨"
+    "鍊炼鎗枪餽馈鬨哄麯曲鼇鳌鼈鳖靨靥夥伙唸念噁恶囀啭囁嗫囈呓峴岘崍崃"
+    "幃帏廩廪懍懔懞蒙摑掴柵栅槓杠櫬榇氾泛洩泄滙汇灃沣灝灏燾焘咼呙剄刭"
+    "劌刿匭匦嬙嫱塒埘鬮阄鬩阋黿鼋鼉鼍黌黉齕龁籩笾籪簖糝糁舖铺蘄蕲蘗蘖"
+    "蜆蚬褌裈襝裣覥觍訢欣赬赪趲趱踡蜷蹣蹒躕蹰遝沓邨村郟郏鄴邺醖酝鈃钘"
+    "鉶铏銍铚鑌镔閈闬阯址陘陉霢霡靭韧頇顸颮飑騂骍騭骘驫骉髠髡鮊鲌鱺鲡"
+    "鴒鸰鵐鹀鷖鹥鸘鹴麅狍黶黡鼕冬齗龂龢和齣出颳刮迴回殭僵癤疖獪狯攆撵"
+    "擡抬顳颞"
 )
 TRAD2SIMP: dict[str, str] = {
     _T2S_PAIRS[i]: _T2S_PAIRS[i + 1] for i in range(0, len(_T2S_PAIRS), 2)

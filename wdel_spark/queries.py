@@ -1100,11 +1100,11 @@ LEFT JOIN p279 ON p279.qid = 'Q' || n_nationkey
 
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: media spans -> binary payload table ->
-    Arrow-batched feature extraction.  The decode step is stubbed (no
-    codecs in this container) with deterministic byte algebra — payload =
-    utf-8 of md5(media_ref), features = md5(payload) hex fields — which
-    DuckDB states exactly, so even the stubbed path carries a full
-    hash-exact oracle (r3 VERDICT next-round #3)."""
+    Arrow-batched feature extraction.  Since r5 the payloads are REAL
+    24-bit BMPs (stdlib ``struct`` synthesis) and the decode branch
+    parses the actual headers + checksums the actual pixel bytes
+    (r4 VERDICT next-round #3); the synthesis algebra is deterministic,
+    so DuckDB restates width/height/checksum/feature_id exactly."""
     from wdel_spark.entry_pipeline import derive_spans_documents
     from wdel_spark.functions.media import (
         media_table_from_documents,
@@ -1125,18 +1125,30 @@ media AS (
          'img://' || doc_id || '/' || CAST(pos AS VARCHAR) AS media_ref
   FROM toks
   WHERE SUBSTRING(MD5(doc_id || ':' || CAST(pos AS VARCHAR)), 1, 1) = '3'),
-feats AS (
-  SELECT doc_id, pos, media_ref, MD5(MD5(media_ref)) AS h FROM media)
+dims AS (
+  -- the BMP synthesis algebra: w/h/fill from hex pairs 17-22 of
+  -- md5(md5(ref)); 24bpp rows pad to 4 bytes; pixel bytes are a
+  -- constant fill, so the decoder's pixel checksum = fill*rowsize*h
+  SELECT doc_id, pos, media_ref,
+         (STRPOS('0123456789abcdef', SUBSTRING(h, 17, 1)) - 1) * 16
+           + STRPOS('0123456789abcdef', SUBSTRING(h, 18, 1)) AS w,
+         (STRPOS('0123456789abcdef', SUBSTRING(h, 19, 1)) - 1) * 16
+           + STRPOS('0123456789abcdef', SUBSTRING(h, 20, 1)) AS hh,
+         (STRPOS('0123456789abcdef', SUBSTRING(h, 21, 1)) - 1) * 16
+           + STRPOS('0123456789abcdef', SUBSTRING(h, 22, 1)) - 1 AS fill
+  FROM (SELECT *, MD5(MD5(media_ref)) AS h FROM media)),
+bmp AS (
+  SELECT *, CAST(FLOOR((3 * w + 3) / 4.0) * 4 AS BIGINT) AS rowsize
+  FROM dims)
 SELECT doc_id, CAST(pos AS INTEGER) AS span_idx, media_ref,
-       SUBSTRING(h, 1, 16) AS feature_id,
-       CAST(32 AS BIGINT) AS n_bytes,
-       CAST((STRPOS('0123456789abcdef', SUBSTRING(h, 17, 1)) - 1) * 16
-            + STRPOS('0123456789abcdef', SUBSTRING(h, 18, 1)) AS INTEGER)
-           AS width,
-       CAST((STRPOS('0123456789abcdef', SUBSTRING(h, 19, 1)) - 1) * 16
-            + STRPOS('0123456789abcdef', SUBSTRING(h, 20, 1)) AS INTEGER)
-           AS height
-FROM feats
+       SUBSTRING(MD5(media_ref || ':' || CAST(w AS VARCHAR) || 'x'
+                     || CAST(hh AS VARCHAR) || ':'
+                     || CAST(fill * rowsize * hh AS VARCHAR)),
+                 1, 16) AS feature_id,
+       CAST(54 + rowsize * hh AS BIGINT) AS n_bytes,
+       CAST(w AS INTEGER) AS width,
+       CAST(hh AS INTEGER) AS height
+FROM bmp
 """
 
 
@@ -1159,10 +1171,21 @@ WITH toks AS (
          generate_subscripts(string_split_regex(text, ' +'), 1) - 1 AS pos
   FROM documents),
 media AS (
-  SELECT doc_id, pos FROM toks
-  WHERE SUBSTRING(MD5(doc_id || ':' || CAST(pos AS VARCHAR)), 1, 1) = '3')
-SELECT doc_id, COUNT(*) AS n_media, COUNT(*) * 32 AS total_bytes
-FROM media GROUP BY doc_id
+  SELECT doc_id, pos,
+         'img://' || doc_id || '/' || CAST(pos AS VARCHAR) AS media_ref
+  FROM toks
+  WHERE SUBSTRING(MD5(doc_id || ':' || CAST(pos AS VARCHAR)), 1, 1) = '3'),
+dims AS (
+  SELECT doc_id,
+         (STRPOS('0123456789abcdef', SUBSTRING(h, 17, 1)) - 1) * 16
+           + STRPOS('0123456789abcdef', SUBSTRING(h, 18, 1)) AS w,
+         (STRPOS('0123456789abcdef', SUBSTRING(h, 19, 1)) - 1) * 16
+           + STRPOS('0123456789abcdef', SUBSTRING(h, 20, 1)) AS hh
+  FROM (SELECT *, MD5(MD5(media_ref)) AS h FROM media))
+SELECT doc_id, COUNT(*) AS n_media,
+       CAST(SUM(54 + CAST(FLOOR((3 * w + 3) / 4.0) * 4 AS BIGINT) * hh)
+            AS BIGINT) AS total_bytes
+FROM dims GROUP BY doc_id
 """
 
 
@@ -1216,13 +1239,18 @@ def q_er_recall_at_k(spark, sf_dir):
     Gold for the self-supervised vocab corpus is derivable in SQL: each
     mention's entity is its own token's vocabulary qid
     (T + md5(norm)[:12]).  The Spark side computes rank-of-gold from the
-    real blocking->scoring->ranking output; the oracle states the
-    EXPECTED histogram (every gold is an exact-match alias, so it must
-    rank first — the er_cluster_partition trick).  Any blocking miss,
-    scoring regression, or ranking tie-break drift breaks the hash."""
+    real blocking->scoring->ranking output WITH DECOYS INJECTED
+    (``decoys=True``): for the 1/16 of vocab norms where md5(norm)[0] ==
+    '0', a same-alias entity with qid 'A'+md5(norm)[:12] ties gold on
+    score and wins the deterministic tie-break, pushing gold to rank 2.
+    The oracle derives the expected histogram FROM THE INJECTION RULE
+    (rank 2 iff md5(lower(tok))[0]='0', else rank 1) — recall@1 < 1, so
+    a bug that breaks ranking or the expectation no longer passes
+    symmetrically (r4 VERDICT next-round #4).  Any blocking miss,
+    scoring regression, or tie-break drift breaks the hash."""
     from wdel_spark.entry_pipeline import er_ranked_over_testdata
 
-    mentions, ranked = er_ranked_over_testdata(spark, sf_dir)
+    mentions, ranked = er_ranked_over_testdata(spark, sf_dir, decoys=True)
     gold = mentions.select(
         "doc_id", "span_idx",
         F.concat(F.lit("T"), F.substring(F.md5("norm_mention"), 1, 12))
@@ -1256,13 +1284,25 @@ WITH toks AS (
          generate_subscripts(string_split_regex(text, ' +'), 1) - 1 AS pos
   FROM documents
 ), mentions AS (
-  SELECT doc_id, pos FROM toks
+  SELECT doc_id, pos, lower(tok) AS norm FROM toks
   WHERE SUBSTRING(MD5(doc_id || ':' || CAST(pos AS VARCHAR)), 1, 1)
         IN ('0', '1', '2')
+), expected AS (
+  -- the decoy-injection rule: norms whose md5 starts '0' carry a
+  -- same-alias decoy qid 'A...' that wins the (score desc, qid asc)
+  -- tie-break, so gold ranks 2 there and 1 everywhere else
+  SELECT doc_id, pos,
+         CASE WHEN SUBSTRING(MD5(norm), 1, 1) = '0' THEN 2 ELSE 1 END
+             AS rank_of_gold
+  FROM mentions
 )
-SELECT ks.k AS k, COUNT(*) AS hits, COUNT(*) AS total,
-       CAST(1.0 AS DOUBLE) AS recall
-FROM mentions, (SELECT unnest([1, 4, 8, 10]) AS k) ks
+SELECT ks.k AS k,
+       CAST(SUM(CASE WHEN rank_of_gold <= ks.k THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits,
+       COUNT(*) AS total,
+       ROUND(SUM(CASE WHEN rank_of_gold <= ks.k THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS recall
+FROM expected, (SELECT unnest([1, 4, 8, 10]) AS k) ks
 GROUP BY ks.k
 """
 
