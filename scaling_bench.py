@@ -72,6 +72,13 @@ def run_one(cores: int) -> None:
     from wdel_spark.session import get_spark
     from wdel_spark.entry_pipeline import (
         materialize_corpus, run_er_from_parquet)
+    from wdel_spark.plans.pipeline import PipelineParams
+
+    # WDEL_SCALING_WIDE_IDS=1 measures the 122-bit composite-id variant
+    # (r4 VERDICT next-round #6: put a number on the decimal(38) tax the
+    # wide_ids docstring asserts)
+    wide = os.environ.get("WDEL_SCALING_WIDE_IDS", "") == "1"
+    params = PipelineParams(wide_ids=True) if wide else PipelineParams()
 
     # identical task granularity at both levels: partition count fixed,
     # only executor-thread concurrency differs (the N-vs-4N proxy)
@@ -82,16 +89,17 @@ def run_one(cores: int) -> None:
     # warm-up: JVM JIT + Arrow + python workers on a small same-shape job
     warm_dir = CORPUS_DIR + "_warm"
     materialize_corpus(spark, 2000, 2000, warm_dir, n_partitions=16)
-    run_er_from_parquet(spark, warm_dir).count()
+    run_er_from_parquet(spark, warm_dir, params).count()
 
     try:
         warm_ids = {s["stageId"] for s in _completed_stages(spark)}
     except Exception:
         warm_ids = set()
     t0 = time.perf_counter()
-    n = run_er_from_parquet(spark, CORPUS_DIR).count()
+    n = run_er_from_parquet(spark, CORPUS_DIR, params).count()
     wall = time.perf_counter() - t0
-    rec = {"cores": cores, "sec": round(wall, 3), "rows": n}
+    rec = {"cores": cores, "sec": round(wall, 3), "rows": n,
+           "wide_ids": wide}
     try:
         stages = [s for s in _completed_stages(spark)
                   if s["stageId"] not in warm_ids]
@@ -119,6 +127,13 @@ def run_one(cores: int) -> None:
                         s.get("shuffleReadBytes", 0) / 1e6, 1),
                     "sh_w_mb": round(
                         s.get("shuffleWriteBytes", 0) / 1e6, 1),
+                    # spill columns (r4 VERDICT next-round #7): whether
+                    # partitions still fit in executor memory as the
+                    # stored corpus scales — the 100 TB story's metric
+                    "spill_mem_mb": round(
+                        s.get("memoryBytesSpilled", 0) / 1e6, 1),
+                    "spill_disk_mb": round(
+                        s.get("diskBytesSpilled", 0) / 1e6, 1),
                 }
                 for s in sorted(stages, key=lambda s: s["stageId"])
             ],

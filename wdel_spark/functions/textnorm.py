@@ -24,9 +24,10 @@ from __future__ import annotations
 import re
 
 # Traditional -> Simplified Chinese single-char mappings (standard
-# unambiguous pairs, hand-vetted; ~1,440 entries covering the
-# high-frequency traditional forms, plus the phrase-exception table below
-# for context-sensitive chars).  The reference uses HanziConv's table
+# unambiguous pairs, hand-vetted; 2,306 entries — the r5 full-coverage
+# pass: complete 讠/纟/贝/钅/门/页/鱼/鸟/饣/马/车 radical families, the
+# remaining 简化字总表-class singles, and codepoint variants — plus the
+# phrase-exception table below for context-sensitive chars).  The reference uses HanziConv's table
 # (`process_string.py:13-15`); a production deployment swaps in a complete
 # OpenCC-derived table behind this same dict + T2S_PHRASE_FIXUPS —
 # semantics (table-driven char translate + literal phrase fixups, JVM

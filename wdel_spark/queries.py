@@ -970,6 +970,69 @@ FROM mentions GROUP BY norm
 """
 
 
+def q_er_streaming_clusters(spark, sf_dir):
+    """The STREAMING ER surface under the driver gate (r4 VERDICT
+    next-round #8; previously pytest-only): the derived corpus is
+    written as a bounded multi-file stream source, drained through the
+    real Structured Streaming machinery — ``foreachBatch`` blocking ->
+    scoring -> top-1 with the idempotent ``_batch_id``-partitioned sink,
+    forced multi-batch via ``maxFilesPerTrigger`` — then each batch's
+    assignment edges fold into the versioned incremental-CC state
+    (``update_clusters``) batch by batch, exactly the periodic
+    cluster-maintenance loop a production stream runs.  The final
+    cluster table is serialized canonically and checked against the SAME
+    independent oracle as the batch path (``er_cluster_partition``):
+    mentions grouped by token norm.  Batch/stream parity is therefore a
+    value-hash gate, not just a pytest."""
+    import os
+    import tempfile
+
+    from wdel_spark.entry_pipeline import (
+        derive_spans_documents, derive_vocab_kb)
+    from wdel_spark.plans.pipeline import prepare_kb
+    from wdel_spark.streaming import run_streaming_assignments
+    from wdel_spark.streaming.stream_pipeline import update_clusters
+
+    docs = derive_spans_documents(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="wdel_stream_query_")
+    docs_path = os.path.join(work, "docs")
+    docs.repartition(4).write.mode("overwrite").parquet(docs_path)
+
+    kb_aliases, entity_vectors = derive_vocab_kb(spark, docs)
+    kb = prepare_kb(kb_aliases, entity_vectors)
+
+    out = os.path.join(work, "assign")
+    ckpt = os.path.join(work, "ckpt")
+    run_streaming_assignments(spark, docs_path, kb, out, ckpt,
+                              max_files_per_trigger=2)
+
+    assigns = spark.read.parquet(out)
+    member = F.concat_ws(":", "doc_id", F.col("span_idx").cast("string"))
+    # fold each micro-batch's edges into the persisted component state in
+    # batch order — same-entity mentions connect through a per-qid hub
+    # node, so later batches join clusters opened by earlier ones.  The
+    # batch-id loop is maintenance orchestration over a handful of ids,
+    # not data movement.
+    state = os.path.join(work, "cc_state")
+    batch_ids = sorted(
+        r[0] for r in assigns.select("_batch_id").distinct().collect())
+    comps = None
+    for b in batch_ids:
+        edges = (
+            assigns.where(F.col("_batch_id") == b)
+            .select(member.alias("src"),
+                    F.concat(F.lit("Q|"), F.col("qid")).alias("dst"))
+        )
+        comps = update_clusters(spark, edges, state)
+    clusters = comps.where(~F.col("node").startswith("Q|"))
+    return (
+        clusters.groupBy("component")
+        .agg(F.min("node").alias("canonical_member"),
+             F.count("*").alias("n_members"))
+        .select("canonical_member", "n_members")
+    )
+
+
 def q_grouped_renest(spark, sf_dir):
     """A1 group-to-nested analog: per-brand sorted name list (re-nest),
     exported as a join-stable string."""
@@ -1389,4 +1452,8 @@ REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "er_clusters_tokens": (q_er_clusters_tokens, ORACLE_ER_CLUSTERS_TOKENS),
     "er_cluster_partition": (q_er_cluster_partition,
                              ORACLE_ER_CLUSTER_PARTITION),
+    # the streaming surface lands on the same independent expectation as
+    # the batch path — batch/stream parity as a value-hash gate
+    "er_streaming_clusters": (q_er_streaming_clusters,
+                              ORACLE_ER_CLUSTER_PARTITION),
 }

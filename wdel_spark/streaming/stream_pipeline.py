@@ -40,6 +40,7 @@ def run_streaming_assignments(
     checkpoint_path: str,
     params: PipelineParams = PipelineParams(),
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Stream documents -> per-mention entity assignments (parquet sink).
 
@@ -47,11 +48,14 @@ def run_streaming_assignments(
     extract -> block -> score -> top-1 threshold; results append to
     ``output_path``.  ``available_now`` drains existing files then stops
     (test/backfill mode); otherwise runs continuously.
+    ``max_files_per_trigger`` bounds each micro-batch (with availableNow
+    the source still drains fully, across several batches) — used to
+    force a genuinely multi-batch drain over a bounded directory.
     """
-    stream = (
-        spark.readStream.schema(DOCUMENTS_SCHEMA)
-        .parquet(input_path)
-    )
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         mentions = extract_mentions(batch_df)
