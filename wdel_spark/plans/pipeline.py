@@ -512,8 +512,12 @@ def _wide_id(seed: str, *cols) -> F.Column:
     fan-out hash joins, salting's xxhash64) works unchanged — values stay
     < 2^123 ≈ 1.06e37, inside decimal(38) range.  Narrow (long) ids remain
     the default: Tungsten compares/hashes longs materially faster than
-    128-bit decimals, and below ~10^10 nodes the collision risk is
-    negligible."""
+    128-bit decimals — measured, not asserted: the 1M-doc stored-corpus
+    A/B at local[8] (BENCH_WIDEID.json, r5) put the decimal(38) tax at
+    6.6x executor CPU / 6.5x wall (1196.8 -> 7881.2 CPU-s), concentrated
+    in the id-keyed shuffle/scoring stages plus heavy GC from Decimal
+    boxing, so wide ids are a >=10^10-node opt-in, not a default — and
+    below ~10^10 nodes the collision risk is negligible."""
     import decimal as _dec
 
     hi = F.pmod(F.xxhash64(F.lit(seed), *cols), F.lit(_NODE_SPACE))
