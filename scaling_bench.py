@@ -101,6 +101,14 @@ def run_one(cores: int) -> None:
     rec = {"cores": cores, "sec": round(wall, 3), "rows": n,
            "wide_ids": wide}
     try:
+        rec["commit"] = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        pass
+    try:
         stages = [s for s in _completed_stages(spark)
                   if s["stageId"] not in warm_ids]
         task_s = sum(s.get("executorRunTime", 0) for s in stages) / 1e3

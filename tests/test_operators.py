@@ -39,6 +39,39 @@ def test_cc_self_loops_and_singletons(spark):
     assert comp[7] == comp[8] == 7
 
 
+def test_cc_random_graphs_match_union_find(spark):
+    """Randomized equivalence vs a Python union-find oracle (guards the
+    explode-based star rewrite: one scan per orientation instead of a
+    self-union, same multiset semantics)."""
+    import random
+
+    rng = random.Random(20260817)
+    for trial in range(3):
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(40, 180))
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        touched = set()
+        for s, d in edges:
+            touched.add(s)
+            touched.add(d)
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[max(rs, rd)] = min(rs, rd)
+        want = {x: find(x) for x in touched}
+        got = _cc_dict(spark, [(s, d) for s, d in edges])
+        assert got == want, f"trial {trial} mismatch"
+
+
 def test_top_k_deterministic_ties(spark):
     df = spark.createDataFrame(
         [("g", "b", 1.0), ("g", "a", 1.0), ("g", "c", 0.5)],
