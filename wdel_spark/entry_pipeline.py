@@ -89,10 +89,39 @@ def derive_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def derive_mention_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat documents -> the MENTION token table (doc_id, span_idx, raw)
+    directly, skipping the nested spans array (r6, guide §2.4).
+
+    Identical rows to ``derive_spans_documents`` followed by
+    explode+filter(kind=='mention'): the spans array holds one entry per
+    token ordered by ``pos``, so the posexplode index over it equals the
+    token position — ``span_idx == pos`` — and the mention predicate is
+    the same md5 rule.  What this skips is everything the ER path never
+    reads: the per-token offset window (one sort), the
+    collect_list/array_sort re-nest (one full shuffle of every token
+    struct), and the downstream re-explode of that array per consumer.
+    Media/span-stats queries still use ``derive_spans_documents`` — they
+    need the media spans and the nested shape."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the source is a one-row-group file -> one scan task; spread the
+    # explode + md5 across the cluster (one cheap shuffle of compact rows)
+    npart = spark.sparkContext.defaultParallelism
+    toks = d.repartition(npart, "doc_id").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.posexplode(F.split("text", " +")).alias("span_idx", "raw"),
+    )
+    h = F.substring(
+        F.md5(F.concat_ws(":", "doc_id", F.col("span_idx").cast("string"))),
+        1, 1)
+    return toks.where(h.isin("0", "1", "2"))
+
+
 _KB_SCHEMA = (
     "qid string, alias string, norm_alias string, block_key string, "
     "lang string, is_label boolean"
 )
+_KB_VEC_SCHEMA = _KB_SCHEMA + ", e_vec array<float>"
 
 
 def derive_vocab_kb(spark: SparkSession, docs_spans: DataFrame,
@@ -113,12 +142,36 @@ def derive_vocab_kb(spark: SparkSession, docs_spans: DataFrame,
     the recall@k histogram falsifiable in both directions — the oracle
     derives the expected ranks from this injection rule instead of
     stating recall ≡ 1."""
-    vocab = (
-        docs_spans.select(F.explode("spans").alias("s"))
-        .where(F.col("s.kind") == "mention")
-        .select(F.col("s.text").alias("alias"))
-        .distinct()
+    combined = derive_vocab_kb_df(spark, docs_spans, decoys=decoys)
+    kb_aliases = combined.drop("e_vec")
+    entity_vectors = (
+        combined.select("qid", F.col("e_vec").alias("vec"))
+        .dropDuplicates(["qid"])
     )
+    return kb_aliases, entity_vectors
+
+
+def derive_vocab_kb_df(spark: SparkSession, docs_or_mentions: DataFrame,
+                       decoys: bool = False) -> DataFrame:
+    """Single-frame vocab KB: (qid, alias, norm_alias, block_key, lang,
+    is_label, e_vec) with the embedding computed IN THE SAME Arrow batch
+    as the featurization (r6, guide §2.3/§2.4): the former
+    two-python-stage + qid-join formulation shuffled the alias table
+    twice (dropDuplicates(qid) + the join exchange) and paid a second
+    Python stage purely to attach a vector that is a pure function of the
+    norm already in hand.  Output rows are identical — ``hash_embed`` is
+    the same kernel, and duplicate (qid, norm_alias) rows carry identical
+    vectors so the final dedup keeps the same values."""
+    if "spans" in docs_or_mentions.columns:
+        vocab = (
+            docs_or_mentions.select(F.explode("spans").alias("s"))
+            .where(F.col("s.kind") == "mention")
+            .select(F.col("s.text").alias("alias"))
+            .distinct()
+        )
+    else:
+        vocab = docs_or_mentions.select(
+            F.col("raw").alias("alias")).distinct()
 
     def feat(batches):
         import hashlib
@@ -134,6 +187,7 @@ def derive_vocab_kb(spark: SparkSession, docs_spans: DataFrame,
                         qids.append("A" + d[:12])
                         aliases.append(a)
                         norms.append(n)
+            vs = hash_embed(norms, EMBED_DIM)
             yield pd.DataFrame({
                 "qid": qids,
                 "alias": aliases,
@@ -141,26 +195,11 @@ def derive_vocab_kb(spark: SparkSession, docs_spans: DataFrame,
                 "block_key": [block_key(n) for n in norms],
                 "lang": ["en"] * len(qids),
                 "is_label": [True] * len(qids),
+                "e_vec": [v.tolist() for v in vs],
             })
 
-    kb_aliases = vocab.mapInPandas(feat, schema=_KB_SCHEMA).dropDuplicates(
+    return vocab.mapInPandas(feat, schema=_KB_VEC_SCHEMA).dropDuplicates(
         ["qid", "norm_alias"])
-
-    def vec(batches):
-        for pdf in batches:
-            sub = pdf.drop_duplicates(subset=["qid"])
-            vs = hash_embed(sub["norm_alias"].tolist(), EMBED_DIM)
-            yield pd.DataFrame({
-                "qid": sub["qid"],
-                "vec": [v.tolist() for v in vs],
-            })
-
-    entity_vectors = (
-        kb_aliases.select("qid", "norm_alias")
-        .dropDuplicates(["qid"])
-        .mapInPandas(vec, schema="qid string, vec array<float>")
-    )
-    return kb_aliases, entity_vectors
 
 
 def _pin_mem(df: DataFrame) -> DataFrame:
@@ -194,15 +233,21 @@ def er_ranked_over_testdata(
     span_idx, qid, score, rank) — the candidate-generation surface the
     recall@k metric (reference `utils/io.py:20-50`,
     `prediction.py:64-72`) evaluates."""
+    from wdel_spark.functions.textnorm import block_key_col, normalize_col
     from wdel_spark.plans.pipeline import (
         candidate_signatures, score_pair_sigs, attach_sig_scores,
         rank_signature_scores)
 
-    docs = _pin_mem(derive_spans_documents(spark, sf_dir))
-    kb_aliases, entity_vectors = derive_vocab_kb(spark, docs, decoys=decoys)
-    kb = _pin_mem(kb_aliases.join(
-        entity_vectors.withColumnRenamed("vec", "e_vec"), "qid"))
-    mentions = _pin_mem(extract_mentions(docs, with_vec=False))
+    mt = _pin_mem(derive_mention_tokens(spark, sf_dir))
+    kb = _pin_mem(derive_vocab_kb_df(spark, mt, decoys=decoys))
+    # same rows as extract_mentions(derive_spans_documents(...)) — see
+    # derive_mention_tokens: span_idx == token pos, mention == raw token
+    norm = normalize_col(F.col("raw"))
+    mentions = _pin_mem(
+        mt.select(
+            "doc_id", "span_idx", F.col("raw").alias("mention"),
+            norm.alias("norm_mention"),
+        ).withColumn("block_key", block_key_col(F.col("norm_mention"))))
     sig_scores = _pin_mem(score_pair_sigs(
         candidate_signatures(mentions, kb, params), kb))
     ranked = attach_sig_scores(
@@ -223,11 +268,9 @@ def er_over_testdata(
     oracle)."""
     from wdel_spark.plans.pipeline import er_ids_plan
 
-    docs = _pin_mem(derive_spans_documents(spark, sf_dir))
-    kb_aliases, entity_vectors = derive_vocab_kb(spark, docs)
-    kb = _pin_mem(kb_aliases.join(
-        entity_vectors.withColumnRenamed("vec", "e_vec"), "qid"))
-    return er_ids_plan(docs, kb, params, pin=_pin_mem)
+    mt = _pin_mem(derive_mention_tokens(spark, sf_dir))
+    kb = _pin_mem(derive_vocab_kb_df(spark, mt))
+    return er_ids_plan(None, kb, params, pin=_pin_mem, mention_spans=mt)
 
 
 def entry_flagship(spark: SparkSession) -> DataFrame:

@@ -93,6 +93,38 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _is_star_shaped(edges: DataFrame) -> bool:
+    """True iff the canonical edge set is already the CC fixpoint.
+
+    The large-star/small-star fixpoint is exactly the star form: every
+    edge is (component_min = src, member = dst), i.e. each ``dst``
+    appears exactly once and never as a ``src``.  Assignment graphs
+    (mention -> entity with entities numbered below mentions, each
+    mention keeping one winner) arrive in this form, so the O(log n)
+    loop — ~6 exchanges for the no-op confirm pass alone — is skippable
+    after ONE cheap role-count aggregate (r6, guide §2.4).  For
+    non-star inputs the check costs one aggregate over 2|E| slim rows
+    and the loop proceeds unchanged."""
+    roles = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("node"),
+                         F.lit(0).alias("is_dst")),
+                F.struct(F.col("dst").alias("node"),
+                         F.lit(1).alias("is_dst")),
+            )
+        ).alias("r")
+    ).select(F.col("r.node").alias("node"), F.col("r.is_dst").alias("is_dst"))
+    bad = (
+        roles.groupBy("node")
+        .agg(F.sum("is_dst").alias("nd"), F.count("*").alias("n"))
+        # a dst that repeats, or a node that is both dst and src
+        .where((F.col("nd") > 1) | ((F.col("nd") > 0) & (F.col("n") > F.col("nd"))))
+        .limit(1)
+    )
+    return len(bad.take(1)) == 0
+
+
 def _fingerprint(edges: DataFrame) -> tuple:
     row = edges.agg(
         F.count("*").alias("n"),
@@ -144,6 +176,9 @@ def connected_components(
             .distinct()
         )
     e = _canonical(e0).localCheckpoint(eager=True)
+    if workdir is None and _is_star_shaped(e):
+        # already the fixpoint — skip the loop (and its fingerprints)
+        return _emit_components(e, nodes)
     prev_fp = _fingerprint(e)
     start = 0
     if workdir is not None:
@@ -178,6 +213,10 @@ def connected_components(
             if name.startswith("cc_iter_"):
                 shutil.rmtree(os.path.join(workdir, name),
                               ignore_errors=True)
+    return _emit_components(e, nodes)
+
+
+def _emit_components(e: DataFrame, nodes: DataFrame | None) -> DataFrame:
     # Fixpoint is star-shaped: canonical orientation makes every edge
     # (component_min=src, member=dst); the center maps to itself.
     comp = (

@@ -361,14 +361,31 @@ def simhash_neardup_pairs(docs: DataFrame, id_col: str = "doc_id",
     a, b2 = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # Pair dedup WITHOUT a distinct exchange (r6, guide §2.4): a pair
+    # sharing several band keys would be emitted once per shared band;
+    # both simhashes are present in the joined row, so "this is the
+    # FIRST shared band" is a pure expression — for every band j < the
+    # matched band, the 16-bit slices must differ.  Each qualifying pair
+    # is emitted exactly once, so the former ``.distinct()`` (a full
+    # shuffle of every candidate pair — 5.8M rows at sf1.0) is dropped
+    # with identical output.
+    slice_eq = lambda col_a, col_b, j: (
+        F.shiftrightunsigned(col_a, j * 16).bitwiseAND(F.lit(0xFFFF))
+        == F.shiftrightunsigned(col_b, j * 16).bitwiseAND(F.lit(0xFFFF)))
+    first_band = F.lit(True)
+    for j in range(3):
+        first_band = first_band & F.when(
+            F.col("a.band") > j,
+            ~slice_eq(F.col("a.simhash"), F.col("b.simhash"), j),
+        ).otherwise(F.lit(True))
     return (
         a.join(b2, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.key") == F.col("b.key"))
                & (F.col("a.doc") < F.col("b.doc")))
+        .where(first_band)
         .select(F.col("a.doc").alias("doc_a"),
                 F.col("b.doc").alias("doc_b"),
                 hamming.alias("hamming"))
-        .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
 

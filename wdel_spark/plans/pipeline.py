@@ -295,6 +295,7 @@ def candidate_signatures(
     mentions: DataFrame,
     kb: DataFrame,
     params: PipelineParams = PipelineParams(),
+    assume_unique: bool = False,
 ) -> DataFrame:
     """S2': blocking join at SIGNATURE granularity.
 
@@ -312,12 +313,20 @@ def candidate_signatures(
     512-byte vector per row for nothing (~10x the shuffle bytes,
     measured); ``score_pair_sigs`` re-attaches vectors AFTER its
     repartition.
+
+    ``assume_unique=True`` is a caller assertion (r6, guide §2.4) that
+    (a) the probe side is already one row per norm_mention and (b) the KB
+    side is unique per (block_key, norm_alias, qid) — true for
+    ``prepare_kb``/``derive_vocab_kb_df`` output, whose final dedup is on
+    exactly those columns (block_key is a function of norm_alias).  Under
+    both, the equi-join output is structurally duplicate-free, so the
+    probe-side ``distinct`` and the output ``dropDuplicates`` — two full
+    exchanges of the signature table — are skipped outright.
     """
-    sigs = (
-        mentions.where(F.col("block_key") != "")
-        .select("norm_mention", "block_key")
-        .distinct()
-    )
+    sigs = mentions.where(F.col("block_key") != "").select(
+        "norm_mention", "block_key")
+    if not assume_unique:
+        sigs = sigs.distinct()
     k = kb.where(F.col("block_key") != "")
     k_slim = k.select("block_key", "norm_alias", "qid")
     if params.join_strategy == "broadcast":
@@ -335,8 +344,10 @@ def candidate_signatures(
     else:  # sort-merge: spread both sides, let AQE split residual skew
         joined = sigs.repartition("block_key").join(
             k_slim.hint("merge"), "block_key")
-    return joined.select("norm_mention", "norm_alias", "qid").dropDuplicates(
-        ["norm_mention", "norm_alias", "qid"])
+    out = joined.select("norm_mention", "norm_alias", "qid")
+    if assume_unique:
+        return out
+    return out.dropDuplicates(["norm_mention", "norm_alias", "qid"])
 
 
 def score_pair_sigs(pair_sigs: DataFrame, kb: DataFrame) -> DataFrame:
@@ -561,10 +572,11 @@ def mention_node(doc_id_col, span_idx_col, wide: bool = False) -> F.Column:
 # ----------------------------------------------- id-granular scale plan
 
 def er_ids_plan(
-    documents: DataFrame,
+    documents: DataFrame | None,
     kb: DataFrame,
     params: PipelineParams = PipelineParams(),
     pin=lambda df: df.localCheckpoint(eager=True),
+    mention_spans: DataFrame | None = None,
 ) -> DataFrame:
     """The 100-TB-shaped ER plan: every per-occurrence computation that is
     really a function of the mention TEXT runs at the coarsest granularity
@@ -593,12 +605,20 @@ def er_ids_plan(
         lambda: F.xxhash64(F.lit("raw"), "raw"))
     nm_id = (lambda c: _wide_id("nm", c)) if wide else (
         lambda c: F.xxhash64(F.lit("nm"), c))
-    spans = (
-        documents.select(
-            "doc_id", F.posexplode("spans").alias("span_idx", "span"))
-        .where(F.col("span.kind") == "mention")
-        .select("doc_id", "span_idx", F.col("span.text").alias("raw"))
-    )
+    # ``mention_spans``: a caller-materialized (doc_id, span_idx, raw)
+    # mention table (r6) — skips the spans explode AND the separate occ
+    # pin below: projections of an already-pinned slim table are cheaper
+    # to recompute per consumer than to persist again.
+    pre_extracted = mention_spans is not None
+    if pre_extracted:
+        spans = mention_spans.select("doc_id", "span_idx", "raw")
+    else:
+        spans = (
+            documents.select(
+                "doc_id", F.posexplode("spans").alias("span_idx", "span"))
+            .where(F.col("span.kind") == "mention")
+            .select("doc_id", "span_idx", F.col("span.text").alias("raw"))
+        )
     # normalize at distinct-RAW granularity; key at distinct-NORM.
     # raws pins FIRST, from its own pass over the scan (the distinct
     # collapses to ~1 row per 9 occurrences before anything materializes)
@@ -615,17 +635,21 @@ def er_ids_plan(
         )
         .withColumn("nm_id", nm_id(F.col("norm_mention")))
     )
-    occ = pin(spans.select(
+    occ = spans.select(
         "doc_id", "span_idx",
         mention_node(F.col("doc_id"), F.col("span_idx"), wide).alias("node"),
         raw_id().alias("raw_id"),
-    ))
+    )
+    if not pre_extracted:
+        occ = pin(occ)
     norms = (
         raws.select("norm_mention").distinct()
         .withColumn("block_key", block_key_col(F.col("norm_mention")))
     )
+    # norms is distinct-by-construction and the KB side is unique per
+    # (block_key, norm_alias, qid) — assume_unique skips two exchanges
     sig_scores = pin(score_pair_sigs(
-        candidate_signatures(norms, kb, params), kb))
+        candidate_signatures(norms, kb, params, assume_unique=True), kb))
     sig_ranked = rank_signature_scores(sig_scores, params)
     # The clustering stage consumes ONLY each signature's winning entity
     # (rank 1 above threshold) — so reduce to the winner AND encode its

@@ -57,12 +57,21 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def q_topk_orders_per_customer(spark, sf_dir):
-    """W1 top-k window with deterministic tie-break."""
-    o = _t(spark, sf_dir, "orders")
+    """W1 top-k window with deterministic tie-break.
+
+    Pre-partitioning on the window key moves the big sort AFTER the
+    exchange (r6, guide §2.4): the source is a 2-row-group file, so the
+    former plan ran sort+partial-WindowGroupLimit inside 2 scan tasks;
+    now the scan only shuffle-writes and 32 reducer tasks sort.  The
+    window reuses the repartition exchange — same exchange count."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice")
+    npart = spark.sparkContext.defaultParallelism
     w = W.partitionBy("o_custkey").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        o.withColumn("rnk", F.row_number().over(w))
+        o.repartition(npart, "o_custkey")
+        .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 3)
         .select("o_custkey", "o_orderkey", "rnk")
     )
@@ -427,7 +436,10 @@ def q_token_window(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " +")
-    base = d.select(
+    # one-row-group source -> one scan task; spread the python window
+    # kernel across workers (r6, guide §2/§4)
+    npart = spark.sparkContext.defaultParallelism
+    base = d.repartition(npart, "doc_id").select(
         F.col("doc_id").cast("string").alias("doc_id"),
         toks.alias("toks"),
         (F.floor(F.size(toks) / 2) + 1).cast("int").alias("midpos"),
@@ -677,8 +689,12 @@ def q_minhash_lsh_neardup(spark, sf_dir):
     the SQL oracle)."""
     from wdel_spark.operators.dedup import minhash_lsh_pairs
 
+    # the selective pushed filter collapses the scan to one task; respread
+    # the surviving docs so the per-shingle md5 work parallelizes (r6)
+    npart = spark.sparkContext.defaultParallelism
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000).select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text")
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).repartition(npart, "doc_id")
     return minhash_lsh_pairs(d, "doc_id", "text")
 
 
@@ -714,8 +730,10 @@ def q_neardup_doc_clusters(spark, sf_dir):
     from wdel_spark.operators.dedup import (
         minhash_lsh_pairs, neardup_doc_clusters)
 
+    npart = spark.sparkContext.defaultParallelism
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300).select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text")
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).repartition(npart, "doc_id")
     pairs = minhash_lsh_pairs(d, "doc_id", "text").select("doc_a", "doc_b")
     return neardup_doc_clusters(d, pairs)
 
@@ -760,8 +778,10 @@ def q_ngram_jaccard_neardup(spark, sf_dir):
     stage of the dedup pipeline)."""
     from wdel_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard
 
+    npart = spark.sparkContext.defaultParallelism
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000).select(
-        F.col("doc_id").cast("string").alias("doc_id"), "text")
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).repartition(npart, "doc_id")
     pairs = minhash_lsh_pairs(d, "doc_id", "text").select("doc_a", "doc_b")
     return ngram_jaccard(d, pairs, "doc_id", "text", shingle_n=3)
 

@@ -55,6 +55,12 @@ def get_spark(
         # (measured 8m -> ~1.5x e2e at local[32] on the 1M-doc ER job)
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # scan-parallelism FLOOR, not a size: small single-file inputs
+        # (the sandbox's one-row-group parquet tables) otherwise scan as
+        # a single task; large inputs already exceed the floor so this is
+        # scale-neutral (guide §6 "minPartitionNum sets a floor on scan
+        # parallelism")
+        .config("spark.sql.files.minPartitionNum", str(cores))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
