@@ -241,15 +241,26 @@ def er_ranked_over_testdata(
     mt = _pin_mem(derive_mention_tokens(spark, sf_dir))
     kb = _pin_mem(derive_vocab_kb_df(spark, mt, decoys=decoys))
     # same rows as extract_mentions(derive_spans_documents(...)) — see
-    # derive_mention_tokens: span_idx == token pos, mention == raw token
-    norm = normalize_col(F.col("raw"))
+    # derive_mention_tokens: span_idx == token pos, mention == raw token.
+    # normalize runs at distinct-RAW granularity and fans out through a
+    # join (the er_ids_plan ladder, guide §2.3): norm/block_key are pure
+    # functions of the raw text, so per-occurrence values are identical
+    raws = (
+        mt.select("raw").distinct()
+        .select(
+            F.col("raw").alias("mention"),
+            normalize_col(F.col("raw")).alias("norm_mention"),
+        )
+        .withColumn("block_key", block_key_col(F.col("norm_mention")))
+    )
     mentions = _pin_mem(
-        mt.select(
-            "doc_id", "span_idx", F.col("raw").alias("mention"),
-            norm.alias("norm_mention"),
-        ).withColumn("block_key", block_key_col(F.col("norm_mention"))))
+        mt.select("doc_id", "span_idx", F.col("raw").alias("mention"))
+        .join(raws, "mention")
+        .select("doc_id", "span_idx", "mention", "norm_mention",
+                "block_key"))
+    norms = raws.select("norm_mention", "block_key").distinct()
     sig_scores = _pin_mem(score_pair_sigs(
-        candidate_signatures(mentions, kb, params), kb))
+        candidate_signatures(norms, kb, params, assume_unique=True), kb))
     ranked = attach_sig_scores(
         mentions, rank_signature_scores(sig_scores, params),
         sig_rows=sig_scores.count())

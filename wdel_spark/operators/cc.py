@@ -164,12 +164,14 @@ def connected_components(
     from wdel_spark.sources.snapshot import (
         read_snapshot, snapshot_is_valid, write_snapshot)
 
-    # materialize the input ONCE: both the node set and the canonical edge
-    # set derive from it — without this the (possibly expensive) upstream
-    # plan would execute once per branch
-    e0 = edges.select("src", "dst").localCheckpoint(eager=True)
+    # materialize the input ONCE when it has two consumers (node set +
+    # canonical edges).  With emit_isolated=False the canonical pass is
+    # the only consumer, so the extra checkpoint would be a pure second
+    # materialization of the (possibly expensive) upstream plan (r6).
+    e0 = edges.select("src", "dst")
     nodes = None
     if emit_isolated:
+        e0 = e0.localCheckpoint(eager=True)
         nodes = (
             e0.select(F.col("src").alias("node"))
             .union(e0.select(F.col("dst").alias("node")))
@@ -178,7 +180,7 @@ def connected_components(
     e = _canonical(e0).localCheckpoint(eager=True)
     if workdir is None and _is_star_shaped(e):
         # already the fixpoint — skip the loop (and its fingerprints)
-        return _emit_components(e, nodes)
+        return _emit_components(e, nodes, star=True)
     prev_fp = _fingerprint(e)
     start = 0
     if workdir is not None:
@@ -192,6 +194,7 @@ def connected_components(
                 prev_fp = _fingerprint(e)
                 start = i
                 break
+    converged = False
     for it in range(start, max_iterations):
         e_new = _canonical(_small_star(_large_star(e)))
         if workdir is not None:
@@ -203,6 +206,7 @@ def connected_components(
             e = e_new.localCheckpoint(eager=True)
         fp = _fingerprint(e)
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
     if workdir is not None and os.path.isdir(workdir):
@@ -213,14 +217,24 @@ def connected_components(
             if name.startswith("cc_iter_"):
                 shutil.rmtree(os.path.join(workdir, name),
                               ignore_errors=True)
-    return _emit_components(e, nodes)
+    return _emit_components(e, nodes, star=converged)
 
 
-def _emit_components(e: DataFrame, nodes: DataFrame | None) -> DataFrame:
+def _emit_components(e: DataFrame, nodes: DataFrame | None,
+                     star: bool = False) -> DataFrame:
     # Fixpoint is star-shaped: canonical orientation makes every edge
     # (component_min=src, member=dst); the center maps to itself.
+    # NB a "cheap" star emit (member rows unioned with distinct centers,
+    # no groupBy) was A/B'd and REVERTED (r6): it removes the node-keyed
+    # aggregate but also the hash partitioning the downstream
+    # cluster-attach join reuses, so the exchange it saved reappeared —
+    # larger — at the join.  ``star`` currently only records that the
+    # fixpoint was verified; the groupBy emit is kept for its output
+    # partitioning.
+    del star
     comp = (
-        e.select(F.col("dst").alias("node"), F.col("src").alias("component"))
+        e.select(F.col("dst").alias("node"),
+                 F.col("src").alias("component"))
         .union(e.select(F.col("src").alias("node"),
                         F.col("src").alias("component")))
         .groupBy("node")
