@@ -398,13 +398,17 @@ def score_pair_sigs(pair_sigs: DataFrame, kb: DataFrame) -> DataFrame:
 
     # Levenshtein via the Catalyst builtin (JVM, codegen) — the Arrow
     # batch carries the precomputed distance; Python only does batched
-    # numpy (JW + cosine + combine).  Respread before the python stage:
-    # the sig table is BYTE-small (AQE coalesces it to a few partitions)
-    # but python-compute-heavy — size tasks for compute, not bytes.
-    npart = pair_sigs.sparkSession.sparkContext.defaultParallelism * 2
+    # numpy (JW + cosine + combine).  Respread before the python stage
+    # with an AQE REBALANCE (r6, guide §2): the former fixed
+    # ``repartition(2 x parallelism)`` scheduled that many python tasks
+    # regardless of input size — ~64 near-empty tasks when the sig table
+    # is small — while REBALANCE sizes partitions from the runtime byte
+    # count against the session's 8 MB advisory (deliberately small so
+    # python-compute-heavy stages still get many waves at scale; see
+    # session.py).
     evec = kb.select("qid", "e_vec").dropDuplicates(["qid"])
     with_lev = (
-        pair_sigs.repartition(npart)
+        pair_sigs.hint("rebalance")
         .join(F.broadcast(evec), "qid")
         .withColumn("lev", F.levenshtein("norm_mention", "norm_alias"))
     )
