@@ -226,13 +226,23 @@ def er_ranked_over_testdata(
     sf_dir: str,
     params: PipelineParams = PipelineParams(),
     decoys: bool = False,
+    sig_level: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Blocking -> scoring -> per-mention ranking over the derived corpus.
 
-    Returns ``(mentions, ranked)`` where ``ranked`` carries (doc_id,
-    span_idx, qid, score, rank) — the candidate-generation surface the
-    recall@k metric (reference `utils/io.py:20-50`,
-    `prediction.py:64-72`) evaluates."""
+    Default: returns ``(mentions, ranked)`` where ``ranked`` carries
+    (doc_id, span_idx, qid, score, rank) — the candidate-generation
+    surface the recall@k metric (reference `utils/io.py:20-50`,
+    `prediction.py:64-72`) evaluates.
+
+    ``sig_level=True`` (r6, guide §8 "decide with small rows"): returns
+    ``(norm_counts, ranked_sigs)`` — (norm_mention, n_occ) occurrence
+    counts and the SIGNATURE-granularity ranking (norm_mention, qid,
+    score, rank).  A mention occurrence's candidate list, scores, ranks
+    and gold qid are all pure functions of its normalized text, so any
+    per-occurrence aggregate of ranks is a count-weighted aggregate of
+    per-signature ranks; the occurrence fan-out join (|occurrences| x k
+    rows) is skipped entirely."""
     from wdel_spark.functions.textnorm import block_key_col, normalize_col
     from wdel_spark.plans.pipeline import (
         candidate_signatures, score_pair_sigs, attach_sig_scores,
@@ -253,14 +263,23 @@ def er_ranked_over_testdata(
         )
         .withColumn("block_key", block_key_col(F.col("norm_mention")))
     )
+    norms = raws.select("norm_mention", "block_key").distinct()
+    sig_scores = _pin_mem(score_pair_sigs(
+        candidate_signatures(norms, kb, params, assume_unique=True), kb))
+    if sig_level:
+        norm_counts = (
+            mt.groupBy(F.col("raw").alias("mention"))
+            .agg(F.count("*").alias("n_occ"))
+            .join(raws.select("mention", "norm_mention"), "mention")
+            .groupBy("norm_mention")
+            .agg(F.sum("n_occ").alias("n_occ"))
+        )
+        return norm_counts, rank_signature_scores(sig_scores, params)
     mentions = _pin_mem(
         mt.select("doc_id", "span_idx", F.col("raw").alias("mention"))
         .join(raws, "mention")
         .select("doc_id", "span_idx", "mention", "norm_mention",
                 "block_key"))
-    norms = raws.select("norm_mention", "block_key").distinct()
-    sig_scores = _pin_mem(score_pair_sigs(
-        candidate_signatures(norms, kb, params, assume_unique=True), kb))
     ranked = attach_sig_scores(
         mentions, rank_signature_scores(sig_scores, params),
         sig_rows=sig_scores.count())

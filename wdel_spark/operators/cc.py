@@ -27,16 +27,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def _canonical(edges: DataFrame) -> DataFrame:
-    """Undirected edge set: collapse to src < dst, drop self-loops, dedupe."""
-    return (
+def _canonical(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """Undirected edge set: collapse to src < dst, drop self-loops, dedupe.
+
+    ``dedup=False`` skips the duplicate-elimination exchange when the
+    caller asserts pair-uniqueness (see ``connected_components``); the
+    orientation/self-loop projection is shuffle-free either way."""
+    out = (
         edges.select(
             F.least("src", "dst").alias("src"),
             F.greatest("src", "dst").alias("dst"),
         )
         .where(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
     )
+    return out.dropDuplicates(["src", "dst"]) if dedup else out
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -138,6 +142,7 @@ def connected_components(
     max_iterations: int = 25,
     emit_isolated: bool = True,
     workdir: str | None = None,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Edges ``(src:long, dst:long)`` -> ``(node:long, component:long)``.
 
@@ -150,6 +155,13 @@ def connected_components(
     missing nodes itself (``coalesce(component, node)`` after a left
     join, as the cluster stages do).  It skips the node-set
     union+distinct+left-join — three shuffles over 2x the edge count.
+
+    ``edges_unique=True`` is a caller assertion that no (src, dst) pair
+    repeats (in either orientation), so the canonicalization skips its
+    dedup exchange (r6).  The assertion is safe even when wrong: a
+    duplicate edge fails the star-shaped fast-path check (repeated dst),
+    and the iteration loop re-canonicalizes WITH dedup every round, so
+    results are unchanged — only the fast path's benefit is lost.
 
     ``workdir`` (r3 VERDICT missing #4): per-iteration state lands as a
     durable manifest-validated snapshot instead of an executor-memory
@@ -177,7 +189,7 @@ def connected_components(
             .union(e0.select(F.col("dst").alias("node")))
             .distinct()
         )
-    e = _canonical(e0).localCheckpoint(eager=True)
+    e = _canonical(e0, dedup=not edges_unique).localCheckpoint(eager=True)
     if workdir is None and _is_star_shaped(e):
         # already the fixpoint — skip the loop (and its fingerprints)
         return _emit_components(e, nodes, star=True)

@@ -473,6 +473,12 @@ def embedding_neardup_pairs(
     base = emb.select(
         F.col(id_col).alias("id"), vec_d.alias("v"),
         norm.alias("nrm"))
+    if sign_bits > 0:
+        # the banded path references base THREE times (band keys + both
+        # vector re-attach sides); evaluate the scan + norm fold once
+        # (r6) — the brute-force path keeps the lazy form (2 refs, and
+        # its callers bound the input)
+        base = base.localCheckpoint(eager=False)
 
     def _cos(a, b):
         dot = F.aggregate(

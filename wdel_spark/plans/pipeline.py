@@ -686,9 +686,13 @@ def er_ids_plan(
     ).select(F.col("node").alias("src"), "dst")
     # emit_isolated=False: the left join + coalesce below already labels
     # unmatched mentions as singletons, so CC's own isolated-node pass
-    # (three shuffles over 2x the edges) is redundant here
+    # (three shuffles over 2x the edges) is redundant here.
+    # edges_unique=True: each occurrence node carries at most ONE edge
+    # (raw_best is <=1 row per raw_id — rank==1 — and occ nodes are
+    # unique), so CC skips its canonical dedup exchange (r6)
     comps = connected_components(
-        edges, params.cc_max_iterations, emit_isolated=False)
+        edges, params.cc_max_iterations, emit_isolated=False,
+        edges_unique=True)
     return (
         occ.select("doc_id", "span_idx", "node")
         .join(comps, "node", "left")

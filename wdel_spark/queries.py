@@ -622,19 +622,26 @@ def q_cosine_topk(spark, sf_dir):
     The IVF/LSH variant for the true 10^12 scale lives in the ER blocking
     join (same pattern: key-partition then exact re-rank)."""
     emb = _t(spark, sf_dir, "embeddings")
-    qrow = emb.where(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv"))
 
     def _dot(a, b):
         return F.aggregate(
             F.zip_with(a, b, lambda x, y: x * y),
             F.lit(0.0), lambda acc, x: acc + x)
 
+    # the query norm is constant across probe rows — compute it once in
+    # the broadcast row instead of re-folding 128 dims per probe row
+    # (same expression tree on the same values -> identical double); the
+    # probe side respreads off the one-row-group scan so the per-row
+    # fold parallelizes (r6)
+    qrow = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        F.sqrt(_dot("embedding", "embedding")).alias("qnorm"))
+    npart = spark.sparkContext.defaultParallelism
     e = F.col("embedding")
-    cos = _dot(e, F.col("qv")) / (
-        F.sqrt(_dot(e, e)) * F.sqrt(_dot(F.col("qv"), F.col("qv"))))
+    cos = _dot(e, F.col("qv")) / (F.sqrt(_dot(e, e)) * F.col("qnorm"))
     return (
         emb.where(F.col("vec_id") != 0)
+        .repartition(npart)
         .crossJoin(F.broadcast(qrow))
         .select("vec_id", "label", F.round(cos, 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
@@ -1333,26 +1340,31 @@ def q_er_recall_at_k(spark, sf_dir):
     scoring regression, or tie-break drift breaks the hash."""
     from wdel_spark.entry_pipeline import er_ranked_over_testdata
 
-    mentions, ranked = er_ranked_over_testdata(spark, sf_dir, decoys=True)
-    gold = mentions.select(
-        "doc_id", "span_idx",
-        F.concat(F.lit("T"), F.substring(F.md5("norm_mention"), 1, 12))
-        .alias("gold_qid"))
-    rank_of_gold = (
-        ranked.join(gold, ["doc_id", "span_idx"])
-        .where(F.col("qid") == F.col("gold_qid"))
-        .groupBy("doc_id", "span_idx")
+    # r6 (guide §8, "decide with small rows"): every occurrence of the
+    # same normalized text has the same candidate list, the same ranks
+    # and the same gold qid, so rank-of-gold is computed ONCE per
+    # signature and the histogram is the count-weighted sum over
+    # signatures — identical rows to the former per-occurrence
+    # rank-join/groupBy chain, which shuffled |occurrences| x k rows to
+    # produce a 4-row table.
+    norm_counts, ranked_sigs = er_ranked_over_testdata(
+        spark, sf_dir, decoys=True, sig_level=True)
+    gold_qid = F.concat(
+        F.lit("T"), F.substring(F.md5("norm_mention"), 1, 12))
+    rg_per_norm = (
+        ranked_sigs.where(F.col("qid") == gold_qid)
+        .groupBy("norm_mention")
         .agg(F.min("rank").alias("rg"))
     )
-    per_mention = gold.join(rank_of_gold, ["doc_id", "span_idx"], "left")
+    per_norm = norm_counts.join(rg_per_norm, "norm_mention", "left")
     ks = F.explode(F.array(*[F.lit(k) for k in (1, 4, 8, 10)])).alias("k")
     return (
-        per_mention.select("rg", ks)
+        per_norm.select("n_occ", "rg", ks)
         .groupBy("k")
         .agg(
-            F.sum(F.when(F.col("rg") <= F.col("k"), 1).otherwise(0))
-            .alias("hits"),
-            F.count("*").alias("total"),
+            F.sum(F.when(F.col("rg") <= F.col("k"), F.col("n_occ"))
+                  .otherwise(F.lit(0))).alias("hits"),
+            F.sum("n_occ").alias("total"),
         )
         .select(
             "k", "hits", "total",
