@@ -27,7 +27,7 @@ query time (`pipeline.py:228-250`).  ``encode_entity_cells`` /
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 MAX_PATHS = 11  # merge_info.py:110 appends at len==10 -> effective cap 11
 
@@ -85,11 +85,25 @@ def _nest_relation(flat: DataFrame, rel: str, max_paths: int) -> DataFrame:
         F.from_json(f"{rel}_en", _ARR).alias("pe"),
         F.from_json(f"{rel}_zh", _ARR).alias("pz"),
     )
-    capped = decoded.groupBy("qid").agg(
-        F.slice(
-            F.array_sort(F.collect_list(F.struct("ord", "pq", "pe", "pz"))),
-            1, max_paths,
-        ).alias("paths")
+    # Cap BEFORE collecting (r6, guide §2.3 "aggregate before you
+    # shuffle"): the former slice(array_sort(collect_list(...)), 1, cap)
+    # shipped and materialized EVERY path of every qid (a hot qid's whole
+    # path set in one array) only to keep the first ``max_paths``.  The
+    # row_number window orders by the SAME full struct key as array_sort
+    # (ord, pq, pe, pz — lexicographic, so ord ties break identically),
+    # and Spark's WindowGroupLimit prunes each map partition to its local
+    # top-``max_paths`` before the exchange; the surviving <= max_paths
+    # rows per qid then collect and sort exactly as before.
+    w = Window.partitionBy("qid").orderBy("ord", "pq", "pe", "pz")
+    capped = (
+        decoded.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_paths)
+        .groupBy("qid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ord", "pq", "pe", "pz"))
+            ).alias("paths")
+        )
     )
     return capped.select(
         "qid",
