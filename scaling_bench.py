@@ -81,10 +81,18 @@ def run_one(cores: int) -> None:
     params = PipelineParams(wide_ids=True) if wide else PipelineParams()
 
     # identical task granularity at both levels: partition count fixed,
-    # only executor-thread concurrency differs (the N-vs-4N proxy)
+    # only executor-thread concurrency differs (the N-vs-4N proxy).
+    # WDEL_SCALING_EXTRA_CONF (JSON dict) lets lever A/Bs (off-heap,
+    # string dedup, partition count — r5 VERDICT next-round #2) run
+    # through the same pinned protocol; the conf is recorded in the run.
+    extra = {"spark.ui.enabled": "true"}
+    extra_env = os.environ.get("WDEL_SCALING_EXTRA_CONF", "")
+    if extra_env:
+        extra.update(json.loads(extra_env))
+    nshuf = int(os.environ.get("WDEL_SCALING_SHUFFLE_PARTITIONS", "128"))
     spark = get_spark(f"wdel_scaling_{cores}", cores=cores,
-                      shuffle_partitions=128,
-                      extra_conf={"spark.ui.enabled": "true"})
+                      shuffle_partitions=nshuf,
+                      extra_conf=extra)
     materialize_corpus(spark, N_DOCS, N_ENTITIES, CORPUS_DIR)  # idempotent
     # warm-up: JVM JIT + Arrow + python workers on a small same-shape job
     warm_dir = CORPUS_DIR + "_warm"
@@ -100,6 +108,10 @@ def run_one(cores: int) -> None:
     wall = time.perf_counter() - t0
     rec = {"cores": cores, "sec": round(wall, 3), "rows": n,
            "wide_ids": wide}
+    if extra_env:
+        rec["extra_conf"] = json.loads(extra_env)
+    if nshuf != 128:
+        rec["shuffle_partitions"] = nshuf
     try:
         rec["commit"] = subprocess.run(
             ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
@@ -157,6 +169,10 @@ def main() -> None:
         run_one(int(sys.argv[sys.argv.index("--cores") + 1]))
         return
     cooldown = int(os.environ.get("WDEL_SCALING_COOLDOWN", "150"))
+    # hoisted out of the rep/level loops (ADVICE r5: the per-iteration
+    # sys.path.insert prepended a duplicate entry every run)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools.canary import reading as canary_reading
     pool_path = os.environ.get("WDEL_SCALING_POOL", "")
     results: dict[int, list] = {c: [] for c in LEVELS}
     first = True
@@ -176,8 +192,6 @@ def main() -> None:
             # host-health canary reading is taken IMMEDIATELY before
             # each measured run and committed inside the run record, so
             # every wall-clock number carries the host phase it ran in
-            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-            from tools.canary import reading as canary_reading
             canary = canary_reading()
             out = subprocess.run(
                 [sys.executable, __file__, "--cores", str(cores)],

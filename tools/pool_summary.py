@@ -24,11 +24,25 @@ import sys
 
 def summarize(pool_path: str, out_path: str) -> dict:
     runs = [json.loads(l) for l in open(pool_path) if l.strip()]
-    narrow = [r for r in runs if not r.get("wide_ids")]
+    # drop variant runs: wide-id measurements and lever A/Bs under
+    # non-default conf ("lever" records other than the interleaved
+    # base) — both live in the pool as provenance, not headline input
+    narrow = [r for r in runs if not r.get("wide_ids")
+              and r.get("lever", "base") == "base"
+              and not r.get("extra_conf")
+              and "shuffle_partitions" not in r]
     commits = sorted({r.get("commit", "pre-stamp") for r in narrow})
-    # newest code = runs carrying a commit stamp (stamping landed with the
-    # CC rewrite); fall back to the full pool if none do yet
-    current = [r for r in narrow if r.get("commit")] or narrow
+    # newest code = the LAST-appended stamped record's commit group (the
+    # pool is append-only, so file order is run order); selecting ALL
+    # stamped runs mixed code versions once the pool spanned several
+    # commits (ADVICE r5).  Fall back to the full pool if none are
+    # stamped yet.
+    stamped = [r for r in narrow if r.get("commit")]
+    if stamped:
+        newest = stamped[-1]["commit"]
+        current = [r for r in stamped if r["commit"] == newest]
+    else:
+        current = narrow
     levels = sorted({r["cores"] for r in current})
     lo, hi = levels[0], levels[-1]
 
@@ -42,7 +56,10 @@ def summarize(pool_path: str, out_path: str) -> dict:
         return min(sel, default=None)
 
     t_lo, t_hi = best(current, lo), best(current, hi)
-    eff = round((t_lo / t_hi) / (hi / lo), 3) if t_lo and t_hi else None
+    # both levels may not have runs under the newest commit yet (ADVICE
+    # r5: unguarded round() raised TypeError) — emit None fields instead
+    have_both = t_lo is not None and t_hi is not None
+    eff = round((t_lo / t_hi) / (hi / lo), 3) if have_both else None
     healthy = [r for r in current
                if r.get("canary", {}).get("healthy")]
     summary = {
@@ -64,7 +81,8 @@ def summarize(pool_path: str, out_path: str) -> dict:
         "levels": [lo, hi],
         f"t_local{lo}_sec": t_lo,
         f"t_local{hi}_sec": t_hi,
-        f"speedup_{lo}_to_{hi}": round(t_lo / t_hi, 3),
+        f"speedup_{lo}_to_{hi}": (round(t_lo / t_hi, 3)
+                                  if have_both else None),
         "scaling_efficiency": eff,
         "target": 0.8,
         "cpu_time_min_s": {str(c): best_cpu(current, c) for c in (lo, hi)},
@@ -77,7 +95,8 @@ def summarize(pool_path: str, out_path: str) -> dict:
                            if r["cores"] == c and not r.get("commit"))
             for c in (lo, hi)},
         "mentions": current[0]["rows"],
-        f"docs_per_sec_local{hi}": round(1_000_000 / t_hi, 1),
+        f"docs_per_sec_local{hi}": (round(1_000_000 / t_hi, 1)
+                                    if t_hi else None),
         "hardware_attribution": (
             "unchanged from r3/r4 (HOST_EVIDENCE.json, "
             "CONTENTION_EVIDENCE.json, BENCH_SCALING_CONTROL.json): "

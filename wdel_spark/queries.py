@@ -1043,6 +1043,10 @@ def q_er_streaming_clusters(spark, sf_dir):
     state = os.path.join(work, "cc_state")
     batch_ids = sorted(
         r[0] for r in assigns.select("_batch_id").distinct().collect())
+    if not batch_ids:  # ADVICE r5: comps stayed None -> AttributeError
+        raise RuntimeError(
+            "er_streaming_clusters: stream drain produced zero batches "
+            f"(sink {out!r} is empty)")
     comps = None
     for b in batch_ids:
         edges = (
