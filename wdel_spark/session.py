@@ -71,9 +71,22 @@ def get_spark(
         # zstd halves shuffle bytes vs lz4 — the sandbox block device
         # throttles sustained IO, so shuffle bytes are wall-clock
         .config("spark.io.compression.codec", "zstd")
+        # off-heap Tungsten memory (r6, guide §5 + r5 VERDICT lever #2):
+        # execution buffers move out of the GC-scanned heap.  Interleaved
+        # A/B on the 1M-doc stored-corpus job at local[8] (pool records
+        # in scaling_runs_r6.jsonl): base 37.4/41.0 s walls, 173.7/186.2
+        # executor-cpu-s vs off-heap 32.1/29.8 s, 149.4/136.1 cpu-s —
+        # -20% wall / -22% CPU on the min, consistent across both reps.
+        # (The same A/B measured -XX:+UseStringDeduplication a LOSS:
+        # 41.6/51.4 s.)  Scale-neutral by construction; size via env for
+        # other memory budgets.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    offheap = os.environ.get("WDEL_SPARK_OFFHEAP", "8g")
+    if offheap != "0":
+        b = (b.config("spark.memory.offHeap.enabled", "true")
+              .config("spark.memory.offHeap.size", offheap))
     for var in _BLAS_VARS:
         b = b.config(f"spark.executorEnv.{var}", "1")
     if local_dir:
