@@ -22,7 +22,8 @@ import os
 import sys
 
 
-def summarize(pool_path: str, out_path: str) -> dict:
+def summarize(pool_path: str, out_path: str,
+              job: str | None = None) -> dict:
     runs = [json.loads(l) for l in open(pool_path) if l.strip()]
     # drop variant runs: wide-id measurements and lever A/Bs under
     # non-default conf ("lever" records other than the interleaved
@@ -63,7 +64,8 @@ def summarize(pool_path: str, out_path: str) -> dict:
     healthy = [r for r in current
                if r.get("canary", {}).get("healthy")]
     summary = {
-        "job": "ER pipeline over stored 1M-doc corpus (datagen excluded)",
+        "job": job or "ER pipeline over stored 1M-doc corpus "
+                      "(datagen excluded)",
         "method": (
             "pooled canary-stamped runs appended across the whole session "
             "(fresh JVM per run, JIT warm-up, interleaved level order, "
@@ -118,7 +120,8 @@ def summarize(pool_path: str, out_path: str) -> dict:
 if __name__ == "__main__":
     pool = sys.argv[1] if len(sys.argv) > 1 else "scaling_runs_r5.jsonl"
     out = sys.argv[2] if len(sys.argv) > 2 else "BENCH_SCALING.json"
-    s = summarize(pool, out)
+    s = summarize(pool, out, job=(sys.argv[3] if len(sys.argv) > 3
+                                  else None))
     print(json.dumps({k: s[k] for k in (
         "levels", f"t_local{s['levels'][0]}_sec",
         f"t_local{s['levels'][1]}_sec", "scaling_efficiency",
