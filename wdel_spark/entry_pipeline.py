@@ -13,6 +13,8 @@ keys) — the same shuffle/skew profile as the synthetic corpus at scale.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, Window as W
@@ -221,6 +223,22 @@ def _pin_mem(df: DataFrame) -> DataFrame:
     return df
 
 
+def _pin_mem_lazy(df: DataFrame) -> DataFrame:
+    """MEMORY_ONLY persist WITHOUT the eager count (r6).
+
+    For chains whose only actions are the final consumer's, the eager
+    count per pin is a full extra job launch each; a lazy persist still
+    evaluates the frame once (the cache populates on first use inside
+    the single consuming job).  Interleaved A/B on er_recall_at_k at
+    sf1.0: eager 3.42/4.56/4.43 s vs lazy 2.52/1.93/4.64 s.  The
+    flagship keeps eager pins: its mid-plan counts (fan-out strategy
+    selection) materialize the pins anyway, and the lazy variant
+    measured a worse minimum there (7.11 vs 6.57 s)."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_ONLY)
+
+
 def er_ranked_over_testdata(
     spark: SparkSession,
     sf_dir: str,
@@ -248,8 +266,11 @@ def er_ranked_over_testdata(
         candidate_signatures, score_pair_sigs, attach_sig_scores,
         rank_signature_scores)
 
-    mt = _pin_mem(derive_mention_tokens(spark, sf_dir))
-    kb = _pin_mem(derive_vocab_kb_df(spark, mt, decoys=decoys))
+    # sig_level consumers act exactly once at the end — lazy pins skip
+    # one full job launch per pin (see _pin_mem_lazy)
+    pin = _pin_mem_lazy if sig_level else _pin_mem
+    mt = pin(derive_mention_tokens(spark, sf_dir))
+    kb = pin(derive_vocab_kb_df(spark, mt, decoys=decoys))
     # same rows as extract_mentions(derive_spans_documents(...)) — see
     # derive_mention_tokens: span_idx == token pos, mention == raw token.
     # normalize runs at distinct-RAW granularity and fans out through a
@@ -264,8 +285,10 @@ def er_ranked_over_testdata(
         .withColumn("block_key", block_key_col(F.col("norm_mention")))
     )
     norms = raws.select("norm_mention", "block_key").distinct()
-    sig_scores = _pin_mem(score_pair_sigs(
-        candidate_signatures(norms, kb, params, assume_unique=True), kb))
+    sig_scores = score_pair_sigs(
+        candidate_signatures(norms, kb, params, assume_unique=True), kb)
+    if not sig_level:
+        sig_scores = _pin_mem(sig_scores)
     if sig_level:
         norm_counts = (
             mt.groupBy(F.col("raw").alias("mention"))
