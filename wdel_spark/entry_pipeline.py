@@ -321,8 +321,8 @@ def er_over_testdata(
     oracle)."""
     from wdel_spark.plans.pipeline import er_ids_plan
 
-    mt = _pin_mem(derive_mention_tokens(spark, sf_dir))
-    kb = _pin_mem(derive_vocab_kb_df(spark, mt))
+    mt = _pin_mem_lazy(derive_mention_tokens(spark, sf_dir))
+    kb = _pin_mem_lazy(derive_vocab_kb_df(spark, mt))
     return er_ids_plan(None, kb, params, pin=_pin_mem, mention_spans=mt)
 
 
