@@ -323,7 +323,8 @@ def er_over_testdata(
 
     mt = _pin_mem_lazy(derive_mention_tokens(spark, sf_dir))
     kb = _pin_mem_lazy(derive_vocab_kb_df(spark, mt))
-    return er_ids_plan(None, kb, params, pin=_pin_mem, mention_spans=mt)
+    return er_ids_plan(None, kb, params, pin=_pin_mem_lazy,
+                       mention_spans=mt)
 
 
 def entry_flagship(spark: SparkSession) -> DataFrame:
