@@ -226,14 +226,17 @@ def _pin_mem(df: DataFrame) -> DataFrame:
 def _pin_mem_lazy(df: DataFrame) -> DataFrame:
     """MEMORY_ONLY persist WITHOUT the eager count (r6).
 
-    For chains whose only actions are the final consumer's, the eager
-    count per pin is a full extra job launch each; a lazy persist still
-    evaluates the frame once (the cache populates on first use inside
-    the single consuming job).  Interleaved A/B on er_recall_at_k at
-    sf1.0: eager 3.42/4.56/4.43 s vs lazy 2.52/1.93/4.64 s.  The
-    flagship keeps eager pins: its mid-plan counts (fan-out strategy
-    selection) materialize the pins anyway, and the lazy variant
-    measured a worse minimum there (7.11 vs 6.57 s)."""
+    The eager count per pin is a full extra job launch each; a lazy
+    persist still evaluates the frame once — the cache populates on
+    first use, and every pinned frame on the testdata paths is either
+    followed by its own count (n_sigs, the fan-out strategy counts) or
+    consumed inside a single downstream job.  Interleaved A/Bs at
+    sf1.0: er_recall_at_k 3.42/4.56/4.43 -> 1.50/1.58/1.61 s; flagship
+    e2e 6.30/6.44/7.05 -> 5.62/5.91/5.95 s (mt+kb) and 6.52/6.76/7.09
+    -> 6.15/6.29/6.50 s (er_ids_plan pins, separate windows).  The
+    durable stored-corpus runner keeps eager localCheckpoint pins —
+    snapshot/resume semantics need materialization at stage
+    boundaries."""
     from pyspark import StorageLevel
 
     return df.persist(StorageLevel.MEMORY_ONLY)
