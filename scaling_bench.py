@@ -236,7 +236,9 @@ def main() -> None:
         f"docs_per_sec_local{hi}": round(N_DOCS / t_hi, 1),
     }
     print(json.dumps(summary))
-    out = os.environ.get("WDEL_SCALING_OUT", "BENCH_SCALING.json")
+    # default changed r6: the old "BENCH_SCALING.json" default silently
+    # overwrote the committed r5 summary artifact during r6 runs
+    out = os.environ.get("WDEL_SCALING_OUT", "BENCH_SCALING_latest.json")
     with open(out, "w") as f:
         json.dump(summary, f, indent=1)
 
