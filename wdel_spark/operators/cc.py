@@ -189,7 +189,15 @@ def connected_components(
             .union(e0.select(F.col("dst").alias("node")))
             .distinct()
         )
-    e = _canonical(e0, dedup=not edges_unique).localCheckpoint(eager=True)
+    e = _canonical(e0, dedup=not edges_unique)
+    if workdir is None:
+        # lazy persist: the star check's aggregate materializes the
+        # cache, the emit reads it — one fewer standalone job than an
+        # eager checkpoint; the loop path keeps eager checkpoints (it
+        # needs lineage truncation per iteration)
+        e = e.persist()
+    else:
+        e = e.localCheckpoint(eager=True)
     if workdir is None and _is_star_shaped(e):
         # already the fixpoint — skip the loop (and its fingerprints)
         return _emit_components(e, nodes, star=True)
